@@ -1,0 +1,58 @@
+import numpy as np
+import pytest
+
+from velocyto_tpu.ops import (col_delta_cor, col_delta_cor_partial,
+                              col_delta_cor_partial_compact,
+                              col_delta_cor_partial_sharded)
+from velocyto_tpu.parallel import make_mesh
+
+from oracles import col_delta_cor_dense as oracle_dense
+from oracles import col_delta_cor_partial as oracle_partial
+
+
+@pytest.mark.parametrize("transform,psc", [("linear", 0.0), ("sqrt", 0.0),
+                                           ("sqrt", 1e-10), ("log10", 1.0)])
+def test_dense_matches_oracle(rng, transform, psc):
+    g, n = 37, 29
+    e = rng.rand(g, n).astype(np.float64) * 10
+    d = rng.randn(g, n).astype(np.float64)
+    expected = oracle_dense(e, d, transform, psc)
+    got = col_delta_cor(e, d, transform, psc)
+    # the diagonal is 0/0 by construction and always overwritten downstream
+    # (analysis fill_diagonal + nan handling); compare off-diagonal only
+    mask = ~np.eye(n, dtype=bool)
+    np.testing.assert_allclose(got[mask], expected[mask], rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("transform,psc", [("linear", 0.0), ("sqrt", 1e-10),
+                                           ("log10", 1.0)])
+def test_partial_matches_oracle(rng, transform, psc):
+    g, n, nn = 23, 31, 7
+    e = rng.rand(g, n) * 10
+    d = rng.randn(g, n)
+    ixs = np.stack([rng.choice(n, nn, replace=False) for _ in range(n)])
+    expected = oracle_partial(e, d, ixs, transform, psc)
+    got = col_delta_cor_partial_compact(e, d, ixs, transform, psc)
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
+
+
+def test_partial_scatter_shape(rng):
+    g, n, nn = 11, 13, 4
+    e = rng.rand(g, n)
+    d = rng.randn(g, n)
+    ixs = np.stack([rng.choice(n, nn, replace=False) for _ in range(n)])
+    dense = col_delta_cor_partial(e, d, ixs, "sqrt", 1e-10)
+    compact = col_delta_cor_partial_compact(e, d, ixs, "sqrt", 1e-10)
+    for c in range(n):
+        np.testing.assert_allclose(dense[c, ixs[c]], compact[c], rtol=1e-5)
+
+
+def test_partial_sharded_matches_single(rng):
+    g, n, nn = 17, 24, 5
+    e = rng.rand(g, n)
+    d = rng.randn(g, n)
+    ixs = np.stack([rng.choice(n, nn, replace=False) for _ in range(n)])
+    mesh = make_mesh()  # 8 virtual CPU devices on the cells axis
+    single = col_delta_cor_partial_compact(e, d, ixs, "sqrt", 1e-10)
+    sharded = col_delta_cor_partial_sharded(mesh, e, d, ixs, "sqrt", 1e-10)
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)

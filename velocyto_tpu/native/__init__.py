@@ -1,0 +1,128 @@
+"""Loader for the native C++ runtime (libvtpu).
+
+The native library provides the host-side hot paths that are neither
+TPU-friendly nor fast enough in Python:
+  - BGZF block decompression + BAM record decoding (the reference relies
+    on pysam/htslib for this; reference: velocyto/counter.py:217-306)
+  - the greedy balanced-kNN loop (reference: velocyto/neighbors.py:11-140)
+
+Built via ``make -C velocyto_tpu/native`` (see Makefile); loaded through
+ctypes.  Every entry point has a pure-Python/numpy fallback, so the
+package works without the native build (slower).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "libvtpu.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        # try to build it on the fly if a toolchain is present
+        try:
+            import subprocess
+            subprocess.run(["make", "-s", "-C", os.path.dirname(__file__)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            pass
+    if os.path.exists(path):
+        try:
+            _LIB = ctypes.CDLL(path)
+            _configure(_LIB)
+        except OSError:
+            _LIB = None
+    return _LIB
+
+
+def _configure(lib) -> None:
+    from ctypes import c_int64, c_int32, c_int, POINTER, c_double, c_char_p, c_void_p, c_uint8
+    lib.vtpu_balance_knn.restype = None
+    lib.vtpu_balance_knn.argtypes = [
+        POINTER(c_int64),   # dsi (n, sight)
+        POINTER(c_double),  # dist (n, sight)
+        POINTER(c_int64),   # lsi (n,)
+        POINTER(c_int64),   # constraint (n,) or NULL
+        c_int64, c_int64,   # n, sight
+        c_int64, c_int64,   # maxl, k
+        c_int,              # return_distance
+        POINTER(c_int64),   # out dsi_new (n, k+1)
+        POINTER(c_double),  # out dist_new (n, k+1)
+        POINTER(c_int64),   # out l (n,)
+    ]
+    lib.vtpu_bam_open.restype = c_void_p
+    lib.vtpu_bam_open.argtypes = [c_char_p]
+    lib.vtpu_bam_close.argtypes = [c_void_p]
+    lib.vtpu_bam_close.restype = None
+    lib.vtpu_bam_n_refs.argtypes = [c_void_p]
+    lib.vtpu_bam_n_refs.restype = c_int64
+    lib.vtpu_bam_ref_name.argtypes = [c_void_p, c_int64]
+    lib.vtpu_bam_ref_name.restype = c_char_p
+    lib.vtpu_bam_read_batch.restype = c_int64
+    lib.vtpu_bam_read_batch.argtypes = [
+        c_void_p,           # handle
+        c_int64,            # max_reads
+        c_int64,            # max_segs per read
+        c_char_p, c_char_p,  # bc tag (2 chars), umi tag (2 chars)
+        POINTER(c_int32),   # out chrom_id (n,)
+        POINTER(c_uint8),   # out strand  (n,) 0='+', 1='-'
+        POINTER(c_int64),   # out pos     (n,) 1-based
+        POINTER(c_int32),   # out n_segs  (n,)
+        POINTER(c_int64),   # out seg_start (n, max_segs)
+        POINTER(c_int64),   # out seg_end   (n, max_segs)
+        POINTER(c_int32),   # out clip5, (n,)
+        POINTER(c_int32),   # out clip3  (n,)
+        POINTER(c_uint8),   # out ref_skip (n,)
+        POINTER(c_uint8),   # out flags_ok (n,) 1 = keep
+        c_char_p,           # out bc buffer   (n * 32)
+        c_char_p,           # out umi buffer  (n * 32)
+        c_int,              # require_unique (NH==1)
+    ]
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def balance_knn_loop(dsi: np.ndarray, dist: np.ndarray, lsi: np.ndarray,
+                     maxl: int, k: int, return_distance: bool,
+                     constraint: Optional[np.ndarray] = None
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lib = _load()
+    from ctypes import POINTER, c_int64, c_double
+    n, sight = dsi.shape
+    dsi = np.ascontiguousarray(dsi, dtype=np.int64)
+    dist = np.ascontiguousarray(dist, dtype=np.float64)
+    lsi = np.ascontiguousarray(lsi, dtype=np.int64)
+    dsi_new = -1 * np.ones((n, k + 1), np.int64)
+    dist_new = np.zeros((n, k + 1), np.float64)
+    l = np.zeros(n, np.int64)
+    cst_ptr = None
+    if constraint is not None:
+        constraint = np.ascontiguousarray(constraint, dtype=np.int64)
+        cst_ptr = constraint.ctypes.data_as(POINTER(c_int64))
+    lib.vtpu_balance_knn(
+        dsi.ctypes.data_as(POINTER(c_int64)),
+        dist.ctypes.data_as(POINTER(c_double)),
+        lsi.ctypes.data_as(POINTER(c_int64)),
+        cst_ptr, n, sight, maxl, k, int(return_distance),
+        dsi_new.ctypes.data_as(POINTER(c_int64)),
+        dist_new.ctypes.data_as(POINTER(c_double)),
+        l.ctypes.data_as(POINTER(c_int64)))
+    if not return_distance:
+        dist_new = np.ones_like(dsi_new, np.float64)
+    return dist_new, dsi_new, l

@@ -1,0 +1,325 @@
+"""colDeltaCor: per-cell correlation between expression deltas and velocity.
+
+For every cell ``c`` and candidate cell ``i``::
+
+    A[:, i] = transform(e[:, i] - e[:, c])          # over genes
+    corr[c, i] = pearson(A[:, i], d[:, c])
+
+This is the computational core of velocity->embedding projection.  The
+reference implements it as OpenMP C loops over cells
+(reference: velocyto/speedboosted.pyx:13-538, python wrappers
+velocyto/estimation.py:11-170).  Here it is re-derived as a streamed
+moment accumulation, which needs only three running sums over genes per
+(c, i) pair:
+
+    S1 = sum_j A_ji      S2 = sum_j A_ji^2      S3 = sum_j A_ji * b_j
+
+    num = S3 - S1 * sum(b) / G
+    den = sqrt(S2 - S1^2 / G) * sqrt(sum b^2 - (sum b)^2 / G)
+    corr = num / den
+
+so it maps onto TPU as a gene-tiled streaming kernel (Pallas, dense
+variant) and as blocked fused-XLA code (neighbor-sampled variant), with
+no O(G * N) scratch per cell.
+
+Transforms match the reference sign conventions exactly:
+  - "linear":  A = delta
+  - "sqrt":    A = sign(delta) * sqrt(|delta| + psc); the *partial*
+               variant maps |delta| < 1e-16 to exactly 0
+               (speedboosted.pyx:373-378)
+  - "log10":   A = sign(delta) * log10(|delta| + psc); full variant maps
+               delta == 0 to -log10(psc) (`tmp > 0` test,
+               speedboosted.pyx:195-199), partial maps it to +log10(psc)
+               (`tmp >= 0` test, speedboosted.pyx:470-473)
+
+All computation is float32 (TPU native); the reference uses float64.
+Agreement is validated to ~1e-4 relative in tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..parallel.mesh import CELLS
+
+_LINEAR, _SQRT, _LOG10 = 0, 1, 2
+_TRANSFORMS = {"linear": _LINEAR, "sqrt": _SQRT, "log10": _LOG10}
+
+
+def _apply_transform(delta, transform: int, psc: float, partial: bool):
+    if transform == _LINEAR:
+        return delta
+    if transform == _SQRT:
+        mag = jnp.sqrt(jnp.abs(delta) + psc)
+        if partial:
+            # |delta| < 1e-16 -> exactly 0 (speedboosted.pyx:373-374)
+            return jnp.where(jnp.abs(delta) < 1e-16, 0.0,
+                             jnp.where(delta > 0, mag, -mag))
+        # full variant: delta <= 0 goes to the negative branch
+        return jnp.where(delta > 0, mag, -mag)
+    if transform == _LOG10:
+        mag = jnp.log10(jnp.abs(delta) + psc)
+        if partial:
+            # `tmp >= 0` test (speedboosted.pyx:470)
+            return jnp.where(delta >= 0, mag, -mag)
+        return jnp.where(delta > 0, mag, -mag)
+    raise ValueError(f"unknown transform code {transform}")
+
+
+def _corr_from_moments(s1, s2, s3, sb1, sb2, n_genes):
+    num = s3 - s1 * (sb1 / n_genes)
+    var_a = s2 - s1 * s1 / n_genes
+    var_b = sb2 - sb1 * sb1 / n_genes
+    return num / (jnp.sqrt(var_a) * jnp.sqrt(var_b))
+
+
+# ---------------------------------------------------------------------------
+# Dense (full) variant: Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _dense_kernel(e_i_ref, e_ct_ref, d_ct_ref, out_ref, acc_ref,
+                  *, transform: int, psc: float, tc: int, n_genes: int):
+    """Grid: (I_tiles, C_tiles, K_gene_tiles); K innermost.
+
+    e_i_ref:  (GT, TI)  gene-tile of candidate-cell columns
+    e_ct_ref: (TC, GT)  gene-tile of center-cell rows (transposed layout:
+                        the last/lane dim must be 128-aligned, so the small
+                        TC axis lives on sublanes and we transpose in-kernel)
+    d_ct_ref: (TC, GT)  gene-tile of displacement rows (transposed)
+    out_ref:  (TC, TI)  correlation output block
+    acc_ref:  (5, TC, TI) scratch accumulators S1,S2,S3 + per-c sb1,sb2
+              (sb moments are broadcast along TI; the slight redundancy
+              keeps everything in one aligned scratch buffer)
+    """
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    e_i = e_i_ref[...]
+    e_c_all = jnp.transpose(e_ct_ref[...])      # (GT, TC)
+    b_all = jnp.transpose(d_ct_ref[...])        # (GT, TC)
+    for c in range(tc):
+        e_c = e_c_all[:, c:c + 1]               # (GT, 1)
+        b = b_all[:, c:c + 1]                   # (GT, 1)
+        delta = e_i - e_c                       # (GT, TI)
+        a = _apply_transform(delta, transform, psc, partial=False)
+        acc_ref[0, c, :] += jnp.sum(a, axis=0)
+        acc_ref[1, c, :] += jnp.sum(a * a, axis=0)
+        acc_ref[2, c, :] += jnp.sum(a * b, axis=0)
+        acc_ref[3, c, :] += jnp.sum(b)
+        acc_ref[4, c, :] += jnp.sum(b * b)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[...] = _corr_from_moments(
+            acc_ref[0], acc_ref[1], acc_ref[2], acc_ref[3], acc_ref[4],
+            float(n_genes))
+
+
+@functools.partial(jax.jit, static_argnames=("transform", "psc"))
+def _col_delta_cor_dense_pallas(emat: jax.Array, dmat: jax.Array,
+                                transform: int = _LINEAR,
+                                psc: float = 0.0) -> jax.Array:
+    """Dense colDeltaCor on TPU. emat/dmat: (G, N) float32 -> (N, N)."""
+    g, n = emat.shape
+    TI, TC, GT = 128, 8, 256
+    g_pad = ((g + GT - 1) // GT) * GT
+    n_pad = ((n + TI - 1) // TI) * TI
+    e = jnp.pad(emat.astype(jnp.float32), ((0, g_pad - g), (0, n_pad - n)))
+    d = jnp.pad(dmat.astype(jnp.float32), ((0, g_pad - g), (0, n_pad - n)))
+    e_t = e.T  # (n_pad, g_pad) center-cell rows
+    d_t = d.T
+
+    grid = (n_pad // TI, n_pad // TC, g_pad // GT)
+    out = pl.pallas_call(
+        functools.partial(_dense_kernel, transform=transform, psc=psc,
+                          tc=TC, n_genes=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((GT, TI), lambda i, c, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, GT), lambda i, c, k: (c, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, GT), lambda i, c, k: (c, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TC, TI), lambda i, c, k: (c, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((5, TC, TI), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n_pad * n_pad * g_pad,
+            bytes_accessed=4 * (n_pad // TI) * n_pad * g_pad,
+            transcendentals=n_pad * n_pad * g_pad if transform else 0,
+        ),
+    )(e, e_t, d_t)
+    return out[:n, :n]
+
+
+# Zero-padded genes perturb the moments when transform(0) != 0, i.e. for
+# sqrt/log10 with psc > 0 (each padded gene adds transform-of-zero to S1/S2).
+# The pallas path is exact when transform(0) == 0; otherwise use XLA.
+def _pad_is_exact(transform: int, psc: float) -> bool:
+    if transform == _LINEAR:
+        return True
+    if transform == _SQRT:
+        return psc == 0.0
+    return False  # log10: transform(0) = +-log10(psc) != 0 in general
+
+
+# ---------------------------------------------------------------------------
+# Dense variant: blocked XLA fallback (CPU & general psc)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("transform", "psc", "block"))
+def _col_delta_cor_dense_xla(emat: jax.Array, dmat: jax.Array,
+                             transform: int = _LINEAR, psc: float = 0.0,
+                             block: int = 8) -> jax.Array:
+    g, n = emat.shape
+    n_pad = ((n + block - 1) // block) * block
+    e = jnp.pad(emat.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
+    d = jnp.pad(dmat.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
+
+    def block_fn(c0):
+        e_c = jax.lax.dynamic_slice(e, (0, c0), (g, block))     # (G, B)
+        b = jax.lax.dynamic_slice(d, (0, c0), (g, block))       # (G, B)
+        delta = e[:, :, None] - e_c[:, None, :]                  # (G, N', B)
+        a = _apply_transform(delta, transform, psc, partial=False)
+        s1 = jnp.sum(a, axis=0).T                                # (B, N')
+        s2 = jnp.sum(a * a, axis=0).T
+        s3 = jnp.einsum("gnb,gb->bn", a, b)
+        sb1 = jnp.sum(b, axis=0)[:, None]
+        sb2 = jnp.sum(b * b, axis=0)[:, None]
+        return _corr_from_moments(s1, s2, s3, sb1, sb2, float(g))
+
+    blocks = jax.lax.map(block_fn, jnp.arange(0, n_pad, block))
+    return blocks.reshape(n_pad, n_pad)[:n, :n]
+
+
+# ---------------------------------------------------------------------------
+# Partial (neighbor-sampled) variant: blocked gather + fused moments
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("transform", "psc", "block"))
+def _partial_impl(e_full: jax.Array, e_ctr: jax.Array, d_ctr: jax.Array,
+                  ixs: jax.Array, transform: int, psc: float,
+                  block: int = 8) -> jax.Array:
+    """Neighbor-sampled colDeltaCor.
+
+    e_full: (N, G) gather source (cells-as-rows so neighbor gathers are
+    contiguous); e_ctr/d_ctr: (M, G) center-cell expression/displacement
+    rows; ixs: (M, nn) *global* neighbor indices.  Returns (M, nn).
+    M may be a shard of N (see col_delta_cor_partial_sharded).
+    """
+    m, g = e_ctr.shape
+    nn = ixs.shape[1]
+    m_pad = ((m + block - 1) // block) * block
+    e_c = jnp.pad(e_ctr, ((0, m_pad - m), (0, 0)))
+    d_c = jnp.pad(d_ctr, ((0, m_pad - m), (0, 0)))
+    ixs_p = jnp.pad(ixs, ((0, m_pad - m), (0, 0)))
+
+    def block_fn(c0):
+        rows = jax.lax.dynamic_slice(e_c, (c0, 0), (block, g))      # (B, G)
+        b = jax.lax.dynamic_slice(d_c, (c0, 0), (block, g))         # (B, G)
+        nb_ix = jax.lax.dynamic_slice(ixs_p, (c0, 0), (block, nn))  # (B, nn)
+        e_nb = e_full[nb_ix]                                         # (B, nn, G)
+        delta = e_nb - rows[:, None, :]
+        a = _apply_transform(delta, transform, psc, partial=True)
+        s1 = jnp.sum(a, axis=-1)                                     # (B, nn)
+        s2 = jnp.sum(a * a, axis=-1)
+        s3 = jnp.einsum("bng,bg->bn", a, b)
+        sb1 = jnp.sum(b, axis=-1)[:, None]
+        sb2 = jnp.sum(b * b, axis=-1)[:, None]
+        return _corr_from_moments(s1, s2, s3, sb1, sb2, float(g))
+
+    blocks = jax.lax.map(block_fn, jnp.arange(0, m_pad, block))
+    return blocks.reshape(m_pad, nn)[:m]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def col_delta_cor(emat, dmat, transform: str = "linear", psc: float = 0.0,
+                  use_pallas: Optional[bool] = None) -> np.ndarray:
+    """Dense colDeltaCor. emat/dmat: (genes, cells). Returns (cells, cells).
+
+    Replaces reference colDeltaCor / colDeltaCorSqrt / colDeltaCorLog10
+    (velocyto/estimation.py:11-141) via the ``transform`` argument.
+    """
+    tcode = _TRANSFORMS[transform]
+    emat = jnp.asarray(emat, dtype=jnp.float32)
+    dmat = jnp.asarray(dmat, dtype=jnp.float32)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu" and
+                      _pad_is_exact(tcode, psc))
+    if use_pallas:
+        out = _col_delta_cor_dense_pallas(emat, dmat, tcode, psc)
+    else:
+        out = _col_delta_cor_dense_xla(emat, dmat, tcode, psc)
+    return np.asarray(out)
+
+
+def col_delta_cor_partial_compact(emat, dmat, ixs, transform: str = "linear",
+                                  psc: float = 0.0) -> np.ndarray:
+    """Sampled-neighborhood colDeltaCor returning the compact (N, nn) form."""
+    tcode = _TRANSFORMS[transform]
+    e_rows = jnp.asarray(emat, dtype=jnp.float32).T
+    d_rows = jnp.asarray(dmat, dtype=jnp.float32).T
+    ixs = jnp.asarray(ixs, dtype=jnp.int32)
+    return np.asarray(
+        _partial_impl(e_rows, e_rows, d_rows, ixs, tcode, psc))
+
+
+def col_delta_cor_partial(emat, dmat, ixs, transform: str = "linear",
+                          psc: float = 0.0) -> np.ndarray:
+    """Sampled-neighborhood colDeltaCor, scattered into a dense (N, N) array
+    for API parity with the reference (velocyto/estimation.py:36-62,144-170).
+    """
+    compact = col_delta_cor_partial_compact(emat, dmat, ixs, transform, psc)
+    n = emat.shape[1]
+    out = np.zeros((n, n), dtype=np.float64)
+    rows = np.repeat(np.arange(n), np.asarray(ixs).shape[1])
+    np.add.at(out, (rows, np.asarray(ixs).ravel()), compact.ravel())
+    return out
+
+
+def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
+                                  transform: str = "linear",
+                                  psc: float = 0.0) -> np.ndarray:
+    """Multi-chip partial colDeltaCor: center cells (rows of ixs / output)
+    sharded over the mesh "cells" axis, expression replicated.
+    Collective-free: each shard gathers from the replicated expression
+    matrix, so scaling is embarrassingly parallel over ICI-connected chips.
+    Returns the compact (N, nn) form.
+    """
+    tcode = _TRANSFORMS[transform]
+    e_rows = jnp.asarray(emat, dtype=jnp.float32).T
+    d_rows = jnp.asarray(dmat, dtype=jnp.float32).T
+    ixs = jnp.asarray(ixs, dtype=jnp.int32)
+    n = e_rows.shape[0]
+    shards = mesh.shape[CELLS]
+    n_pad = ((n + shards - 1) // shards) * shards
+    e_pad = jnp.pad(e_rows, ((0, n_pad - n), (0, 0)))
+    d_pad = jnp.pad(d_rows, ((0, n_pad - n), (0, 0)))
+    ixs_pad = jnp.pad(ixs, ((0, n_pad - n), (0, 0)))
+
+    fn = shard_map(
+        functools.partial(_partial_impl, transform=tcode, psc=psc),
+        mesh=mesh,
+        in_specs=(P(), P(CELLS, None), P(CELLS, None), P(CELLS, None)),
+        out_specs=P(CELLS, None),
+    )
+    out = fn(e_rows, e_pad, d_pad, ixs_pad)
+    return np.asarray(out[:n])

@@ -1,0 +1,308 @@
+"""k-nearest-neighbor search and balanced-kNN graph construction.
+
+The kNN search is TPU-native: blocked pairwise distances ride the MXU
+(||x-y||^2 = ||x||^2 + ||y||^2 - 2 x.y) followed by ``lax.top_k``.  This
+replaces the reference's sklearn NearestNeighbors calls
+(reference: velocyto/neighbors.py:226-244,363-376).
+
+The balanced-kNN *balancing* step is a greedy, order-dependent algorithm
+(reference: velocyto/neighbors.py:11-140, numba).  It is sequential by
+construction (the degree cap `l` is mutated node by node), so it stays on
+the host; the numpy implementation below reproduces the reference
+semantics exactly, including tie-breaking (mergesort argsort reversed)
+and the self-fill behavior when the sight is exhausted.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse
+
+from .. import native
+
+
+# ---------------------------------------------------------------------------
+# TPU kNN search
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "metric"))
+def _knn_search_impl(data: jax.Array, k: int, block: int = 512,
+                     metric: str = "euclidean") -> Tuple[jax.Array, jax.Array]:
+    """All-pairs kNN of data (N, D) against itself; returns (dist, idx)
+    each (N, k), ascending by distance, self included (distance 0 first,
+    matching sklearn kneighbors on the fit data)."""
+    n, d = data.shape
+    x = data.astype(jnp.float32)
+    if metric == "correlation":
+        x = x - jnp.mean(x, axis=1, keepdims=True)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        # correlation distance = 1 - corr; monotone in squared euclidean of
+        # the normalized rows: ||u-v||^2 = 2 (1 - corr)
+    sq = jnp.sum(x * x, axis=1)
+    n_pad = ((n + block - 1) // block) * block
+    x_p = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    sq_p = jnp.pad(sq, ((0, n_pad - n),))
+
+    def block_fn(r0):
+        rows = jax.lax.dynamic_slice(x_p, (r0, 0), (block, d))
+        rsq = jax.lax.dynamic_slice(sq_p, (r0,), (block,))
+        d2 = rsq[:, None] + sq[None, :] - 2.0 * rows @ x.T   # (B, N)
+        d2 = jnp.maximum(d2, 0.0)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx
+
+    dists2, idx = jax.lax.map(block_fn, jnp.arange(0, n_pad, block))
+    dists2 = dists2.reshape(n_pad, k)[:n]
+    idx = idx.reshape(n_pad, k)[:n]
+    if metric == "correlation":
+        dist = dists2 / 2.0           # 1 - corr
+    else:
+        dist = jnp.sqrt(dists2)
+    return dist, idx
+
+
+def knn_search(data: np.ndarray, k: int, metric: str = "euclidean",
+               block: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """kNN search (self included as the first neighbor).
+
+    The TPU pass over-fetches candidates with fast f32 matmul distances;
+    the candidates are then re-scored exactly in f64 on the host (O(N*k*D),
+    negligible) so neighbor ordering matches an exact search.
+    """
+    n = data.shape[0]
+    k = min(k, n)
+    k2 = min(n, k + 8)
+    block = min(block, max(8, n))
+    _dist, idx = _knn_search_impl(jnp.asarray(data, dtype=jnp.float32), k2,
+                                  block, metric)
+    idx = np.asarray(idx, dtype=np.int64)
+    x = np.asarray(data, dtype=np.float64)
+    if metric == "correlation":
+        x = x - x.mean(axis=1, keepdims=True)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    diff = x[idx] - x[:, None, :]                  # (N, k2, D)
+    d2 = np.einsum("nkd,nkd->nk", diff, diff)
+    # lexicographic (distance, index): sort by index first, then stable by d2
+    by_idx = np.argsort(idx, axis=1, kind="stable")
+    idx = np.take_along_axis(idx, by_idx, axis=1)
+    d2 = np.take_along_axis(d2, by_idx, axis=1)
+    order = np.argsort(d2, axis=1, kind="stable")
+    idx = np.take_along_axis(idx, order, axis=1)[:, :k]
+    d2 = np.take_along_axis(d2, order, axis=1)[:, :k]
+    if metric == "correlation":
+        dist = d2 / 2.0                            # 1 - corr
+    else:
+        dist = np.sqrt(np.maximum(d2, 0.0))
+    return dist, idx
+
+
+# ---------------------------------------------------------------------------
+# Greedy balancing (host; reference-exact semantics)
+# ---------------------------------------------------------------------------
+
+def balance_knn_loop(dsi: np.ndarray, dist: np.ndarray, lsi: np.ndarray,
+                     maxl: int, k: int, return_distance: bool,
+                     constraint: Optional[np.ndarray] = None
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy cap on in-degree of the kNN graph.
+
+    Mirrors reference velocyto/neighbors.py:11-140 (both the plain and the
+    group-constrained variant, selected by ``constraint``): nodes are
+    visited hub-first (lsi); each keeps its first k admissible neighbors,
+    where a neighbor is admissible if its in-degree is still < maxl (and,
+    if constrained, shares the node's group); exhausted sights self-fill.
+    """
+    if native.available():
+        return native.balance_knn_loop(dsi, dist, lsi, maxl, k,
+                                       return_distance, constraint)
+    n, sight = dsi.shape
+    assert sight >= k, "sight needs to be bigger than k"
+    dsi_new = -1 * np.ones((n, k + 1), np.int64)
+    l = np.zeros(n, np.int64)
+    dist_new = np.zeros((n, k + 1), np.float64)
+    for i in range(n):
+        el = lsi[i]
+        p = 0
+        j = 0
+        row = dsi[el]
+        for j in range(sight):
+            if p >= k:
+                break
+            m = row[j]
+            if el == m:
+                dsi_new[el, 0] = el
+                continue
+            if constraint is not None and constraint[el] != constraint[m]:
+                continue
+            if l[m] >= maxl:
+                continue
+            dsi_new[el, p + 1] = m
+            l[m] += 1
+            if return_distance:
+                dist_new[el, p + 1] = dist[el, j]
+            p += 1
+        if (j == sight - 1) and (p < k):
+            while p < k:
+                dsi_new[el, p + 1] = el
+                dist_new[el, p + 1] = dist[el, 0]
+                p += 1
+    if not return_distance:
+        dist_new = np.ones_like(dsi_new, np.float64)
+    return dist_new, dsi_new, l
+
+
+def knn_balance(dsi: np.ndarray, dist: Optional[np.ndarray] = None,
+                maxl: int = 200, k: int = 60,
+                constraint: Optional[np.ndarray] = None
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference-parity wrapper (velocyto/neighbors.py:143-183)."""
+    l = np.bincount(dsi.flat[:], minlength=dsi.shape[0])
+    lsi = np.argsort(l, kind="mergesort")[::-1]
+    if dist is None:
+        dist = np.ones(dsi.shape, dtype="float64")
+        dist[:, 0] = 0
+        cst = None if constraint is None else constraint.astype("int64")
+        return balance_knn_loop(dsi, dist, lsi, maxl, k,
+                                return_distance=False, constraint=cst)
+    cst = None if constraint is None else constraint.astype("int64")
+    return balance_knn_loop(dsi, dist, lsi, maxl, k,
+                            return_distance=True, constraint=cst)
+
+
+class BalancedKNN:
+    """sklearn-like estimator for the balanced kNN graph.
+
+    API parity with reference velocyto/neighbors.py:186-357, but the
+    initial kNN search runs on TPU (blocked matmul + top_k).
+    """
+
+    def __init__(self, k: int = 50, sight_k: int = 100, maxl: int = 200,
+                 constraint: Optional[np.ndarray] = None,
+                 mode: str = "distance", metric: str = "euclidean",
+                 n_jobs: int = 4) -> None:
+        self.k = k
+        self.sight_k = sight_k
+        self.maxl = maxl
+        self.mode = mode
+        self.metric = metric
+        self.n_jobs = n_jobs
+        self.dist_new = self.dsi_new = self.l = None
+        self.bknn: Optional[sparse.csr_matrix] = None
+        self.constraint = constraint
+
+    @property
+    def n_samples(self) -> int:
+        return self.data.shape[0]
+
+    def fit(self, data: np.ndarray, sight_k: Optional[int] = None) -> "BalancedKNN":
+        self.data = data
+        self.fitdata = data
+        if sight_k is not None:
+            self.sight_k = sight_k
+        return self
+
+    def kneighbors(self, X: Optional[np.ndarray] = None,
+                   maxl: Optional[int] = None, mode: str = "distance"):
+        if X is not None:
+            self.data = X
+        if maxl is not None:
+            self.maxl = maxl
+        self.dist, self.dsi = knn_search(self.fitdata,
+                                         min(self.sight_k + 1,
+                                             self.fitdata.shape[0]),
+                                         metric=self.metric)
+        self.dist_new, self.dsi_new, self.l = knn_balance(
+            self.dsi, self.dist, maxl=self.maxl, k=self.k,
+            constraint=self.constraint)
+        if mode == "connectivity":
+            self.dist = np.ones_like(self.dsi)
+            self.dist[:, 0] = 0
+        return self.dist_new, self.dsi_new, self.l
+
+    def kneighbors_graph(self, X: Optional[np.ndarray] = None,
+                         maxl: Optional[int] = None,
+                         mode: str = "distance") -> sparse.csr_matrix:
+        dist_new, dsi_new, _l = self.kneighbors(X=X, maxl=maxl, mode=mode)
+        self.bknn = sparse.csr_matrix(
+            (np.ravel(dist_new), np.ravel(dsi_new),
+             np.arange(0, dist_new.shape[0] * dist_new.shape[1] + 1,
+                       dist_new.shape[1])),
+            (self.n_samples, self.n_samples))
+        return self.bknn
+
+    def smooth_data(self, data_to_smooth: np.ndarray,
+                    X: Optional[np.ndarray] = None,
+                    maxl: Optional[int] = None,
+                    mutual: bool = False,
+                    only_increase: bool = True) -> np.ndarray:
+        from .smoothing import connectivity_to_weights, convolve_by_sparse_weights
+        if self.bknn is None:
+            assert (X is None) and (maxl is None), \
+                "graph was already fit with different parameters"
+            self.kneighbors_graph(X=X, maxl=maxl, mode=self.mode)
+        if mutual:
+            connectivity = make_mutual(self.bknn > 0)
+        else:
+            connectivity = self.bknn.T > 0
+        connectivity = connectivity.tolil()
+        connectivity.setdiag(1)
+        w = connectivity_to_weights(connectivity).T
+        assert np.allclose(w.sum(0), 1), \
+            "weight matrix need to sum to one over the columns"
+        if data_to_smooth.shape[1] == w.shape[0]:
+            result = sparse.csr_matrix.dot(data_to_smooth, w)
+        elif data_to_smooth.shape[0] == w.shape[0]:
+            result = sparse.csr_matrix.dot(data_to_smooth.T, w).T
+        else:
+            raise ValueError(
+                f"Incorrect size of matrix, none of the axis correspond "
+                f"to the one of graph. {w.shape}")
+        if only_increase:
+            return np.maximum(result, data_to_smooth)
+        return result
+
+
+# ---------------------------------------------------------------------------
+# Mutual kNN utilities (reference velocyto/neighbors.py:363-451)
+# ---------------------------------------------------------------------------
+
+def knn_distance_matrix(data: np.ndarray, metric: Optional[str] = None,
+                        k: int = 40, mode: str = "connectivity",
+                        n_jobs: int = 4) -> sparse.csr_matrix:
+    """kNN graph of data (samples, features) *excluding* self, like
+    sklearn kneighbors_graph(X=None)."""
+    metric = metric or "euclidean"
+    dist, idx = knn_search(data, min(k + 1, data.shape[0]), metric=metric)
+    # drop the self column
+    dist, idx = dist[:, 1:], idx[:, 1:]
+    n, kk = idx.shape
+    if mode == "connectivity":
+        data_vals = np.ones(n * kk)
+    else:
+        data_vals = dist.ravel()
+    return sparse.csr_matrix(
+        (data_vals, idx.ravel(), np.arange(0, n * kk + 1, kk)), (n, n))
+
+
+def make_mutual(knn: sparse.spmatrix) -> sparse.coo_matrix:
+    """Keep only mutual edges (reference neighbors.py:379-382)."""
+    return knn.minimum(knn.T)
+
+
+def min_n(row_data: np.ndarray, row_indices: np.ndarray, n: int):
+    i = row_data.argsort()[:n]
+    return row_data[i], row_indices[i]
+
+
+def take_top(matrix: sparse.spmatrix, n: int) -> sparse.lil_matrix:
+    """Keep the n smallest entries of each row (reference :403-411)."""
+    arr_ll = matrix.tolil(copy=True)
+    for i in range(arr_ll.shape[0]):
+        d, r = min_n(np.array(arr_ll.data[i]), np.array(arr_ll.rows[i]), n)
+        arr_ll.data[i] = d.tolist()
+        arr_ll.rows[i] = r.tolist()
+    return arr_ll

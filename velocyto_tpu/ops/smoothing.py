@@ -1,0 +1,92 @@
+"""kNN smoothing (imputation) of count matrices.
+
+The reference smooths with a sparse weight matrix product
+(reference: velocyto/neighbors.py:385-423, analysis.py:1006-1016).
+On TPU the kNN structure (<= K neighbors per cell) makes a compact
+gather + weighted-sum kernel the natural fit: it is a single fused
+gather/einsum, memory-bound, and shards trivially over the cells axis.
+
+The scipy.sparse-facing helpers keep API parity for host-side use.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse
+
+
+def connectivity_to_weights(mknn: sparse.spmatrix, axis: int = 1) -> sparse.spmatrix:
+    """Row-normalize a binary connectivity matrix
+    (reference: velocyto/neighbors.py:385-390)."""
+    if not sparse.issparse(mknn) or mknn.format != "csr":
+        mknn = sparse.csr_matrix(mknn)
+    return mknn.multiply(1.0 / np.asarray(mknn.sum(axis=axis)))
+
+
+def csr_to_compact(w: sparse.spmatrix) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad a sparse row-stochastic weight matrix to (N, Kmax) index/weight
+    arrays.  Padding entries have weight 0 (index 0, harmless)."""
+    w = sparse.csr_matrix(w)
+    n = w.shape[0]
+    counts = np.diff(w.indptr)
+    kmax = int(counts.max()) if n else 0
+    idx = np.zeros((n, kmax), dtype=np.int32)
+    wgt = np.zeros((n, kmax), dtype=np.float32)
+    for i in range(n):
+        s, e = w.indptr[i], w.indptr[i + 1]
+        idx[i, :e - s] = w.indices[s:e]
+        wgt[i, :e - s] = w.data[s:e]
+    return idx, wgt
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _convolve_compact_impl(data_rows: jax.Array, nbr_idx: jax.Array,
+                           nbr_w: jax.Array, block: int = 256) -> jax.Array:
+    """out[i] = sum_k w[i,k] * data_rows[idx[i,k]].
+
+    data_rows: (N, G); nbr_idx/nbr_w: (N, K).  Returns (N, G).
+    """
+    n, g = data_rows.shape
+    kk = nbr_idx.shape[1]
+    n_pad = ((n + block - 1) // block) * block
+    idx_p = jnp.pad(nbr_idx, ((0, n_pad - n), (0, 0)))
+    w_p = jnp.pad(nbr_w, ((0, n_pad - n), (0, 0)))
+
+    def block_fn(r0):
+        idx_b = jax.lax.dynamic_slice(idx_p, (r0, 0), (block, kk))
+        w_b = jax.lax.dynamic_slice(w_p, (r0, 0), (block, kk))
+        rows = data_rows[idx_b]                     # (B, K, G)
+        return jnp.einsum("bkg,bk->bg", rows, w_b)
+
+    out = jax.lax.map(block_fn, jnp.arange(0, n_pad, block))
+    return out.reshape(n_pad, g)[:n]
+
+
+def convolve_by_sparse_weights(data: np.ndarray, w: sparse.spmatrix) -> np.ndarray:
+    """data (genes, cells) smoothed with weights w so that
+    out[:, i] = sum_j w[i, j] data[:, j]  (reference expects w.T applied on
+    the right: velocyto/neighbors.py:416-423, where w is (cells, cells)
+    row-stochastic).
+    """
+    w_ = w.T
+    colsums = np.asarray(w_.sum(0)).ravel()
+    assert np.allclose(colsums, 1), \
+        "weight matrix need to sum to one over the columns"
+    idx, wgt = csr_to_compact(sparse.csr_matrix(w))
+    out_rows = _convolve_compact_impl(
+        jnp.asarray(np.ascontiguousarray(data.T), dtype=jnp.float32),
+        jnp.asarray(idx), jnp.asarray(wgt))
+    return np.asarray(out_rows, dtype=np.float64).T
+
+
+def convolve_compact(data_rows: np.ndarray, nbr_idx: np.ndarray,
+                     nbr_w: np.ndarray) -> np.ndarray:
+    """Direct compact-form smoothing (cells-as-rows)."""
+    return np.asarray(_convolve_compact_impl(
+        jnp.asarray(data_rows, dtype=jnp.float32),
+        jnp.asarray(nbr_idx, dtype=jnp.int32),
+        jnp.asarray(nbr_w, dtype=jnp.float32)))
