@@ -1,0 +1,126 @@
+"""End-to-end estimation pipeline on a synthetic loom file."""
+import numpy as np
+import pytest
+
+import velocyto_tpu as vt
+from velocyto_tpu.io import loom as loomio
+
+
+@pytest.fixture(scope="module")
+def synthetic_loom(tmp_path_factory):
+    """Two-population synthetic dataset with a gamma-consistent U ~ 0.3 S."""
+    rng = np.random.RandomState(0)
+    genes, cells = 60, 150
+    base = rng.gamma(2.0, 3.0, size=(genes, cells))
+    S = rng.poisson(base).astype(np.uint16)
+    U = rng.poisson(0.3 * base + 0.05).astype(np.uint16)
+    A = rng.poisson(0.05 * base).astype(np.uint16)
+    path = str(tmp_path_factory.mktemp("loom") / "synth.loom")
+    ra = {"Gene": np.array([f"g{i}" for i in range(genes)]),
+          "Accession": np.array([f"ENSG{i:08d}" for i in range(genes)]),
+          "Chromosome": np.array(["1"] * genes),
+          "Strand": np.array(["+"] * genes),
+          "Start": np.arange(genes) * 1000,
+          "End": np.arange(genes) * 1000 + 500}
+    ca = {"CellID": np.array([f"sample:{i:04d}" for i in range(cells)])}
+    loomio.create(path, {"": S.astype(np.float32), "spliced": S,
+                         "unspliced": U, "ambiguous": A}, ra, ca,
+                  {"velocyto.__version__": vt.__version__})
+    return path
+
+
+def test_loom_roundtrip(synthetic_loom):
+    ds = loomio.connect(synthetic_loom)
+    assert ds.layer["spliced"].shape == (60, 150)
+    assert ds.layer[""].shape == (60, 150)
+    assert "Gene" in ds.row_attrs
+    assert ds.row_attrs["Gene"][0] == "g0"
+    ds.close()
+
+
+def test_full_estimation_pipeline(synthetic_loom, tmp_path):
+    vlm = vt.VelocytoLoom(synthetic_loom)
+    assert vlm.S.shape == (60, 150)
+
+    vlm.normalize("both", size=True, log=True)
+    assert hasattr(vlm, "S_sz") and hasattr(vlm, "U_norm")
+
+    vlm.score_detection_levels(min_expr_counts=10, min_cells_express=5)
+    vlm.filter_genes(by_detection_levels=True)
+
+    vlm.perform_PCA(n_components=12)
+    assert vlm.pcs.shape[1] == 12
+
+    vlm.knn_imputation(k=10, balanced=True, b_sight=30, b_maxl=20,
+                       n_pca_dims=10)
+    assert vlm.Sx.shape == vlm.S.shape
+
+    vlm.fit_gammas(limit_gamma=False, fit_offset=True)
+    assert np.all(np.isfinite(vlm.gammas))
+    # gamma should be ~0.3 on average for the synthetic model
+    assert 0.1 < np.median(vlm.gammas) < 0.6
+
+    vlm.predict_U()
+    vlm.calculate_velocity()
+    vlm.calculate_shift(assumption="constant_velocity")
+    vlm.extrapolate_cell_at_t(delta_t=1)
+    assert hasattr(vlm, "Sx_sz_t")
+
+    # use PCA as the "embedding" to avoid a slow TSNE in CI
+    vlm.ts = vlm.pcs[:, :2]
+    vlm.estimate_transition_prob(hidim="Sx_sz", embed="ts",
+                                 transform="sqrt", n_neighbors=30,
+                                 knn_random=True, sampled_fraction=0.5)
+    n = vlm.S.shape[1]
+    assert vlm.corrcoef.shape == (n, n)
+    assert not np.any(np.isnan(vlm.corrcoef))
+
+    vlm.calculate_embedding_shift(sigma_corr=0.05, expression_scaling=True)
+    assert vlm.delta_embedding.shape == (n, 2)
+    assert np.all(np.isfinite(vlm.delta_embedding))
+
+    vlm.calculate_grid_arrows(smooth=0.5, steps=(10, 10), n_neighbors=20)
+    assert vlm.flow.shape == (100, 2)
+
+    vlm.prepare_markov(sigma_D=1.0, sigma_W=0.5, direction="forward")
+    vlm.run_markov(n_steps=50)
+    assert vlm.diffused.shape == (n,)
+    np.testing.assert_allclose(vlm.diffused.sum(), 1.0, rtol=1e-3)
+
+    # snapshot / restore
+    snap = str(tmp_path / "snap.hdf5")
+    del vlm.pca  # non-picklable-friendly attrs can stay, PCA object pickles fine
+    vlm.to_hdf5(snap)
+    vlm2 = vt.load_velocyto_hdf5(snap)
+    np.testing.assert_allclose(vlm2.gammas, vlm.gammas)
+    np.testing.assert_allclose(vlm2.delta_embedding, vlm.delta_embedding)
+
+
+def test_embedding_shift_matches_dense_oracle(synthetic_loom):
+    """The blocked XLA embedding-shift kernel vs the dense formula."""
+    rng = np.random.RandomState(3)
+    n = 40
+    emb = rng.randn(n, 2)
+    corr = rng.rand(n, n) * 0.2
+    knn = (rng.rand(n, n) < 0.3).astype(float)
+    np.fill_diagonal(knn, 1)
+    sigma = 0.05
+    P = np.exp(corr / sigma) * knn
+    P /= P.sum(1)[:, None]
+
+    # dense oracle (reference analysis.py:1704-1712 formula)
+    unitary = emb.T[:, None, :] - emb.T[:, :, None]  # (2, n, n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        unitary /= np.linalg.norm(unitary, ord=2, axis=0)
+        np.fill_diagonal(unitary[0], 0)
+        np.fill_diagonal(unitary[1], 0)
+    expected = (P * unitary).sum(2)
+    expected -= (knn * unitary).sum(2) / knn.sum(1)[None, :]
+    expected = expected.T
+
+    import jax.numpy as jnp
+    from velocyto_tpu.analysis import _embedding_shift_blocked
+    got = np.asarray(_embedding_shift_blocked(
+        jnp.asarray(emb, jnp.float32), jnp.asarray(P, jnp.float32),
+        jnp.asarray(knn, jnp.float32), jnp.asarray(knn.sum(1), jnp.float32)))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)

@@ -13,6 +13,23 @@ The loom file on disk is the contract between the halves.
 from ._version import __version__
 from .constants import *  # noqa: F401,F403
 
+# Persistent XLA compilation cache: remote TPU compiles are expensive
+# (minutes over a tunnel); caching makes every shape recompile free after
+# the first session.  Opt out by setting JAX_COMPILATION_CACHE_DIR="".
+import os as _os
+
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
+    import jax as _jax
+
+    _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
+                           "velocyto_tpu_jax")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .ops import (col_delta_cor, col_delta_cor_partial,
                   col_delta_cor_partial_compact, col_delta_cor_partial_sharded,
                   knn_search, knn_balance, balance_knn_loop, BalancedKNN,
@@ -30,3 +47,8 @@ from .estimation import (colDeltaCor, colDeltaCorSqrt, colDeltaCorLog10,
 from .serialization import dump_hdf5, load_hdf5
 from .diffusion import Diffusion
 from .metadata import Metadata, MetadataCollection
+from .analysis import (VelocytoLoom, load_velocyto_hdf5, scatter_viz,
+                       ixs_thatsort_a2b, gaussian_kernel, colormap_fun,
+                       scale_to_match_median, permute_rows_nsign,
+                       numba_random_seed)
+from . import io

@@ -1,0 +1,1696 @@
+"""VelocytoLoom: the post-counting analysis pipeline.
+
+API-parity re-implementation of the reference's analysis object
+(reference: velocyto/analysis.py:26-2470), with every hot numerical path
+routed through the TPU kernels in velocyto_tpu.ops:
+
+  - PCA                -> ops.pca (XLA SVD)
+  - kNN + balancing    -> ops.knn (MXU blocked distances + host greedy)
+  - smoothing          -> ops.smoothing (gather/einsum kernel)
+  - gamma fits         -> ops.gamma (vmapped closed-form constrained QP)
+  - transition probs   -> ops.coldeltacor (pallas / blocked XLA)
+  - embedding shift    -> blocked jitted XLA (this module)
+
+sklearn is kept only where the reference itself delegates to it and the
+computation is cold (SVR noise model, TSNE).
+"""
+from __future__ import annotations
+
+import logging
+import warnings
+from copy import deepcopy
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse
+from scipy.spatial.distance import pdist, squareform
+from scipy.stats import norm as normal
+
+from .io import loom as loomio
+from .ops.pca import PCA
+from .ops.knn import (BalancedKNN, knn_distance_matrix, knn_search,
+                      make_mutual, take_top)
+from .ops.smoothing import connectivity_to_weights, convolve_by_sparse_weights
+from .ops.gamma import (fit_slope, fit_slope_offset, fit_slope_weighted,
+                        fit_slope_weighted_offset, clusters_stats)
+from .ops.coldeltacor import (col_delta_cor, col_delta_cor_partial)
+from .diffusion import Diffusion
+from .serialization import dump_hdf5, load_hdf5
+
+
+def _plt():
+    import matplotlib.pyplot as plt
+    return plt
+
+
+class VelocytoLoom:
+    """In-memory analysis object for a velocyto loom file.
+
+    Attribute-accretion API matching the reference (analysis.py:26-94):
+    methods return None and create attributes (S, U, A, S_sz, Sx, gammas,
+    velocity, delta_embedding, ...).
+    """
+
+    def __init__(self, loom_filepath: str) -> None:
+        self.loom_filepath = loom_filepath
+        ds = loomio.connect(self.loom_filepath)
+        self.S = ds.layer["spliced"][:, :]
+        self.U = ds.layer["unspliced"][:, :]
+        self.A = ds.layer["ambiguous"][:, :]
+        self.ca = dict(ds.col_attrs.items())
+        self.ra = dict(ds.row_attrs.items())
+        ds.close()
+
+        self.initial_cell_size = self.S.sum(0)
+        self.initial_Ucell_size = self.U.sum(0)
+
+        try:
+            if np.mean(self.ca["_Valid"]) < 1:
+                logging.warning(
+                    f"fraction of _Valid cells is {np.mean(self.ca['_Valid'])} "
+                    "but all will be taken in consideration")
+        except KeyError:
+            pass
+
+    # ------------------------------------------------------------------
+    # serialization
+    # ------------------------------------------------------------------
+
+    def to_hdf5(self, filename: str, **kwargs: Any) -> None:
+        """Snapshot every attribute to hdf5 (resume with
+        load_velocyto_hdf5)."""
+        dump_hdf5(self, filename, **kwargs)
+
+    # ------------------------------------------------------------------
+    # cell/gene bookkeeping
+    # ------------------------------------------------------------------
+
+    def filter_cells(self, bool_array: np.ndarray) -> None:
+        """Keep only cells where bool_array is True (reference :137-165)."""
+        self.S, self.U, self.A = (X[:, bool_array]
+                                  for X in (self.S, self.U, self.A))
+        self.initial_cell_size = self.initial_cell_size[bool_array]
+        self.initial_Ucell_size = self.initial_Ucell_size[bool_array]
+        for attr in ("ts", "size_factor"):
+            try:
+                setattr(self, attr, getattr(self, attr)[bool_array])
+            except AttributeError:
+                pass
+        self.ca = {k: v[bool_array] for k, v in self.ca.items()}
+        try:
+            self.cluster_labels = self.cluster_labels[bool_array]
+            self.colorandum = self.colorandum[bool_array, :]
+        except AttributeError:
+            pass
+
+    def set_clusters(self, cluster_labels: np.ndarray,
+                     cluster_colors_dict: Optional[Dict[str, List[float]]] = None,
+                     colormap: Any = None) -> None:
+        """Set cluster labels + colors (reference :167-201)."""
+        self.cluster_labels = np.array(cluster_labels)
+        if self.cluster_labels.dtype == "O":
+            self.cluster_labels = self.cluster_labels.astype(np.bytes_)
+        if cluster_colors_dict:
+            self.colorandum = np.array([cluster_colors_dict[i]
+                                        for i in cluster_labels])
+            self.cluster_colors_dict = cluster_colors_dict
+            self.colormap = None
+        else:
+            if colormap is None:
+                self.colorandum = colormap_fun(self.cluster_ix)
+                cluster_uid = self.cluster_uid
+                self.cluster_colors_dict = {
+                    cluster_uid[i]: colormap_fun(np.array([i]))[0]
+                    for i in range(len(cluster_uid))}
+            else:
+                self.colormap = colormap
+                self.colorandum = self.colormap(self.cluster_ix)
+                cluster_uid = self.cluster_uid
+                self.cluster_colors_dict = {
+                    cluster_uid[i]: self.colormap(i)
+                    for i in range(len(cluster_uid))}
+
+    @property
+    def cluster_uid(self) -> np.ndarray:
+        return np.unique(self.cluster_labels)
+
+    @property
+    def cluster_ix(self) -> np.ndarray:
+        _, cluster_ix = np.unique(self.cluster_labels, return_inverse=True)
+        return cluster_ix
+
+    # ------------------------------------------------------------------
+    # gene scoring / filtering
+    # ------------------------------------------------------------------
+
+    def score_cv_vs_mean(self, N: int = 3000, min_expr_cells: int = 2,
+                         max_expr_avg: float = 20, min_expr_avg: int = 0,
+                         svr_gamma: Optional[float] = None,
+                         winsorize: bool = False,
+                         winsor_perc: Tuple[float, float] = (1, 99.5),
+                         sort_inverse: bool = False, which: str = "S",
+                         plot: bool = False) -> None:
+        """CV-vs-mean SVR noise model ranking (reference :213-342).
+
+        The SVR is sklearn's (cold path, identical to the reference);
+        moment computation is numpy.
+        """
+        from sklearn.svm import SVR
+        M = self.S if which == "S" else self.U
+        if winsorize:
+            if min_expr_cells <= ((100 - winsor_perc[1]) * M.shape[1] * 0.01):
+                min_expr_cells = int(np.ceil(
+                    (100 - winsor_perc[1]) * M.shape[0] * 0.01)) + 2
+
+        detected_bool = ((M > 0).sum(1) > min_expr_cells) & \
+                        (M.mean(1) < max_expr_avg) & (M.mean(1) > min_expr_avg)
+        Mf = M[detected_bool, :]
+        if winsorize:
+            down, up = np.percentile(Mf, winsor_perc, 1)
+            Mfw = np.clip(Mf, down[:, None], up[:, None])
+            mu = Mfw.mean(1)
+            sigma = Mfw.std(1, ddof=1)
+        else:
+            mu = Mf.mean(1)
+            sigma = Mf.std(1, ddof=1)
+
+        cv = sigma / mu
+        log_m = np.log2(mu)
+        log_cv = np.log2(cv)
+
+        if svr_gamma is None:
+            svr_gamma = 150.0 / len(mu)
+        clf = SVR(gamma=svr_gamma)
+        clf.fit(log_m[:, None], log_cv)
+        ff = clf.predict(log_m[:, None])
+        score = log_cv - ff
+        if sort_inverse:
+            score = -score
+        nth_score = np.sort(score)[::-1][N] if N < len(score) else np.min(score) - 1e-16
+        if plot:
+            plt = _plt()
+            scatter_viz(log_m[score > nth_score], log_cv[score > nth_score],
+                        s=3, alpha=0.4, c="tab:red")
+            scatter_viz(log_m[score <= nth_score], log_cv[score <= nth_score],
+                        s=3, alpha=0.4, c="tab:blue")
+            mu_linspace = np.linspace(np.min(log_m), np.max(log_m))
+            plt.plot(mu_linspace, clf.predict(mu_linspace[:, None]), c="k")
+            plt.xlabel(f"log2 mean {which}")
+            plt.ylabel(f"log2 CV {which}")
+        full_score = np.zeros(detected_bool.shape)
+        full_score[~detected_bool] = np.min(score) - 1e-16
+        full_score[detected_bool] = score
+        if which == "S":
+            self.cv_mean_score = full_score
+            self.cv_mean_selected = self.cv_mean_score >= nth_score
+        else:
+            self.Ucv_mean_score = full_score
+            self.Ucv_mean_selected = self.Ucv_mean_score >= nth_score
+
+    def robust_size_factor(self, pc: float = 0.1, which: str = "both") -> None:
+        """Anders-Huber style size factors (reference :344-382)."""
+        def _sf(M, sel):
+            Y = np.log2(M[sel, :] + pc)
+            Y_avg = Y.mean(1)
+            sf = np.median(2 ** (Y - Y_avg[:, None]), axis=0)
+            return sf / np.mean(sf)
+        if which in ("both", "S"):
+            self.size_factor = _sf(self.S, self.cv_mean_selected)
+        if which in ("both", "U"):
+            self.Usize_factor = _sf(self.U, self.Ucv_mean_selected)
+
+    def score_cluster_expression(self, min_avg_U: float = 0.02,
+                                 min_avg_S: float = 0.08) -> None:
+        """Cluster-wise expression threshold (reference :384-403)."""
+        self.U_avgs, self.S_avgs = clusters_stats(
+            self.U, self.S, self.cluster_uid, self.cluster_ix, size_limit=40)
+        self.clu_avg_selected = (self.U_avgs.max(1) > min_avg_U) & \
+                                (self.S_avgs.max(1) > min_avg_S)
+
+    def score_detection_levels(self, min_expr_counts: int = 50,
+                               min_cells_express: int = 20,
+                               min_expr_counts_U: int = 0,
+                               min_cells_express_U: int = 0) -> None:
+        """Detection-level gene filter scores (reference :405-432)."""
+        S_sum = self.S.sum(1)
+        S_ncells = (self.S > 0).sum(1)
+        U_sum = self.U.sum(1)
+        U_ncells = (self.U > 0).sum(1)
+        self.detection_level_selected = (
+            (S_sum >= min_expr_counts) & (S_ncells >= min_cells_express) &
+            (U_sum >= min_expr_counts_U) & (U_ncells >= min_cells_express_U))
+
+    def filter_genes(self, by_detection_levels: bool = False,
+                     by_cluster_expression: bool = False,
+                     by_cv_vs_mean: bool = False,
+                     by_custom_array: Any = None,
+                     keep_unfiltered: bool = False) -> None:
+        """Apply gene filters to S/U/ra (reference :434-496)."""
+        assert np.any([by_detection_levels, by_cluster_expression,
+                       by_cv_vs_mean, type(by_custom_array) is np.ndarray]), \
+            "At least one of the filtering methods needs to be True"
+        tmp_filter = np.ones(self.S.shape[0], dtype=bool)
+        if by_cluster_expression:
+            tmp_filter = tmp_filter & self.clu_avg_selected
+        if by_cv_vs_mean:
+            tmp_filter = tmp_filter & self.cv_mean_selected
+        if by_detection_levels:
+            tmp_filter = tmp_filter & self.detection_level_selected
+        if type(by_custom_array) is np.ndarray:
+            if by_custom_array.dtype == bool:
+                tmp_filter = tmp_filter & by_custom_array
+            else:
+                bool_negative = ~np.isin(np.arange(len(tmp_filter)),
+                                         by_custom_array)
+                tmp_filter[bool_negative] = False
+        if keep_unfiltered:
+            self.U_prefilter = sparse.csr_matrix(self.U)
+            self.S_prefilter = sparse.csr_matrix(self.S)
+            self.ra_prefilter = deepcopy(self.ra)
+        self.U = self.U[tmp_filter, :]
+        self.S = self.S[tmp_filter, :]
+        self.ra = {k: v[tmp_filter] for k, v in self.ra.items()}
+
+    def custom_filter_attributes(self, attr_names: List[str],
+                                 bool_filter: np.ndarray) -> None:
+        """Filter arbitrary attributes (reference :498-533)."""
+        for attr in attr_names:
+            if attr[-2:] == ".T":
+                obj = getattr(self, attr[:-2])
+                transpose_flag = True
+                attr = attr[:-2]
+            else:
+                obj = getattr(self, attr)
+                transpose_flag = False
+            if type(obj) is dict:
+                setattr(self, attr, {k: v[bool_filter] for k, v in obj.items()})
+            elif type(obj) is np.ndarray:
+                if len(obj.shape) > 1:
+                    if transpose_flag:
+                        setattr(self, attr, obj[..., bool_filter])
+                    else:
+                        setattr(self, attr, obj[bool_filter, :])
+                else:
+                    setattr(self, attr, obj[bool_filter])
+            else:
+                raise NotImplementedError(
+                    f"The filtering of an object of type {type(obj)} "
+                    "is not defined")
+
+    # ------------------------------------------------------------------
+    # normalization family (reference :535-904)
+    # ------------------------------------------------------------------
+
+    def _normalize_S(self, size: bool = True, log: bool = True,
+                     pcount: float = 1, relative_size: Any = None,
+                     target_size: Any = None) -> None:
+        if size:
+            if type(relative_size) is np.ndarray:
+                self.cell_size = relative_size
+            else:
+                self.cell_size = self.S.sum(0)
+            self.avg_size = (self.cell_size.mean()
+                             if target_size is None else target_size)
+            self.norm_factor = self.avg_size / self.cell_size
+        else:
+            self.norm_factor = 1
+        self.S_sz = self.norm_factor * self.S
+        if log:
+            self.S_norm = np.log2(self.S_sz + pcount)
+
+    def _normalize_U(self, size: bool = True, log: bool = True,
+                     pcount: float = 1, use_S_size: bool = False,
+                     relative_size: Any = None, target_size: Any = None) -> None:
+        if size:
+            if use_S_size:
+                cell_size = (self.cell_size if hasattr(self, "cell_size")
+                             else self.S.sum(0))
+            elif type(relative_size) is np.ndarray:
+                cell_size = relative_size
+            else:
+                cell_size = self.U.sum(0)
+            self.Ucell_size = cell_size
+            avg_size = cell_size.mean() if target_size is None else target_size
+            self.Uavg_size = avg_size
+            with np.errstate(divide="ignore", invalid="ignore"):
+                norm_factor = avg_size / cell_size
+        else:
+            norm_factor = 1
+        self.Unorm_factor = norm_factor
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.U_sz = norm_factor * self.U
+        self.U_sz[~np.isfinite(self.U_sz)] = 0
+        if log:
+            self.U_norm = np.log2(self.U_sz + pcount)
+
+    def _normalize_Sx(self, size: bool = True, log: bool = True,
+                      pcount: float = 1, relative_size: Any = None,
+                      target_size: Any = None) -> None:
+        if size:
+            if relative_size is not None and np.any(relative_size):
+                self.xcell_size = relative_size
+            else:
+                self.xcell_size = self.Sx.sum(0)
+            self.xavg_size = (self.xcell_size.mean()
+                              if target_size is None else target_size)
+            self.xnorm_factor = self.xavg_size / self.xcell_size
+        else:
+            self.xnorm_factor = 1
+        self.Sx_sz = self.xnorm_factor * self.Sx
+        if log:
+            self.Sx_norm = np.log2(self.Sx_sz + pcount)
+
+    def _normalize_Ux(self, size: bool = True, log: bool = True,
+                      pcount: float = 1, use_Sx_size: bool = False,
+                      relative_size: Any = None, target_size: Any = None) -> None:
+        if size:
+            if use_Sx_size:
+                cell_size = (self.xcell_size if hasattr(self, "cell_size")
+                             else self.Sx.sum(0))
+            elif type(relative_size) is np.ndarray:
+                cell_size = relative_size
+            else:
+                cell_size = self.Ux.sum(0)
+            self.xUcell_size = cell_size
+            avg_size = cell_size.mean() if target_size is None else target_size
+            self.xUavg_size = avg_size
+            with np.errstate(divide="ignore", invalid="ignore"):
+                norm_factor = avg_size / cell_size
+        else:
+            norm_factor = 1
+        self.xUnorm_factor = norm_factor
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.Ux_sz = norm_factor * self.Ux
+        self.Ux_sz[~np.isfinite(self.Ux_sz)] = 0
+        if log:
+            self.Ux_norm = np.log2(self.Ux_sz + pcount)
+
+    def normalize(self, which: str = "both", size: bool = True,
+                  log: bool = True, pcount: float = 1,
+                  relative_size: Optional[np.ndarray] = None,
+                  use_S_size_for_U: bool = False,
+                  target_size: Tuple[Any, Any] = (None, None)) -> None:
+        """Normalization facade (reference :633-676)."""
+        if which == "both":
+            self._normalize_S(size=size, log=log, pcount=pcount,
+                              relative_size=relative_size,
+                              target_size=target_size[0])
+            self._normalize_U(size=size, log=log, pcount=pcount,
+                              use_S_size=use_S_size_for_U,
+                              relative_size=relative_size,
+                              target_size=target_size[1])
+        if which == "S":
+            self._normalize_S(size=size, log=log, pcount=pcount,
+                              relative_size=relative_size,
+                              target_size=target_size[0])
+        if which == "U":
+            self._normalize_U(size=size, log=log, pcount=pcount,
+                              use_S_size=use_S_size_for_U,
+                              relative_size=relative_size,
+                              target_size=target_size[1])
+        if which == "imputed":
+            self._normalize_Sx(size=size, log=log, pcount=pcount,
+                               relative_size=relative_size,
+                               target_size=target_size[0])
+            self._normalize_Ux(size=size, log=log, pcount=pcount,
+                               use_Sx_size=use_S_size_for_U,
+                               relative_size=relative_size,
+                               target_size=target_size[1])
+        if which == "Sx":
+            self._normalize_Sx(size=size, log=log, pcount=pcount,
+                               relative_size=relative_size,
+                               target_size=target_size[0])
+        if which == "Ux":
+            self._normalize_Ux(size=size, log=log, pcount=pcount,
+                               use_Sx_size=use_S_size_for_U,
+                               relative_size=relative_size,
+                               target_size=target_size[1])
+
+    def normalize_by_total(self, min_perc_U: float = 0.5, plot: bool = False,
+                           skip_low_U_pop: bool = True,
+                           same_size_UnS: bool = False) -> None:
+        """Size-normalize by the initial totals (reference :704-758)."""
+        target_cell_size = np.median(self.initial_cell_size)
+        min_Ucell_size = np.percentile(self.initial_Ucell_size, min_perc_U)
+        if min_Ucell_size < 2:
+            raise ValueError(
+                f"min_perc_U={min_perc_U} corresponds to total Unspliced of "
+                "1 molecule of less. Please choose higher value or filter "
+                "our these cell")
+        self.small_U_pop = self.initial_Ucell_size < min_Ucell_size
+        if same_size_UnS:
+            target_Ucell_size = target_cell_size
+        else:
+            target_Ucell_size = np.median(
+                self.initial_Ucell_size[~self.small_U_pop])
+        self._normalize_S(relative_size=self.initial_cell_size,
+                          target_size=target_cell_size)
+        if skip_low_U_pop:
+            self._normalize_U(
+                relative_size=np.clip(self.initial_Ucell_size,
+                                      min_Ucell_size, None),
+                target_size=target_Ucell_size)
+        else:
+            self._normalize_U(relative_size=self.initial_Ucell_size,
+                              target_size=target_Ucell_size)
+
+    def normalize_by_size_factor(self, min_perc_U: float = 0.5,
+                                 plot: bool = False,
+                                 skip_low_U_pop: bool = True,
+                                 same_size_UnS: bool = False) -> None:
+        """Size-normalize by robust size factors (reference :760-815)."""
+        cell_size = self.S.sum(0)
+        Ucell_size = self.U.sum(0)
+        target_cell_size = np.median(cell_size)
+        min_Ucell_size = np.percentile(Ucell_size, min_perc_U)
+        if min_Ucell_size < 2:
+            raise ValueError(
+                f"min_perc_U={min_perc_U} corresponds to total Unspliced of "
+                "1 molecule of less. Please choose higher value or filter "
+                "our these cell")
+        self.small_U_pop = Ucell_size < min_Ucell_size
+        if same_size_UnS:
+            target_Ucell_size = target_cell_size
+        else:
+            target_Ucell_size = np.median(Ucell_size[~self.small_U_pop])
+        self._normalize_S(relative_size=self.size_factor,
+                          target_size=target_cell_size)
+        if skip_low_U_pop:
+            self._normalize_U(
+                relative_size=np.clip(self.initial_Ucell_size,
+                                      min_Ucell_size, None),
+                target_size=target_Ucell_size)
+        else:
+            self._normalize_U(relative_size=self.initial_Ucell_size,
+                              target_size=target_Ucell_size)
+
+    def adjust_totS_totU(self, skip_low_U_pop: bool = True,
+                         normalize_total: bool = False,
+                         fit_with_low_U: bool = True,
+                         svr_C: float = 100, svr_gamma: float = 1e-6,
+                         plot: bool = False) -> None:
+        """SVR-based U rescaling vs S totals (reference :817-867)."""
+        from sklearn.svm import SVR
+        svr = SVR(C=svr_C, kernel="rbf", gamma=svr_gamma)
+        X, y = self.S_sz.sum(0), self.U_sz.sum(0)
+        if fit_with_low_U:
+            svr.fit(X[:, None], y)
+            predicted = svr.predict(X[:, None])
+        else:
+            svr.fit(X[~self.small_U_pop, None], y[~self.small_U_pop])
+            predicted = np.copy(y)
+            predicted[~self.small_U_pop] = svr.predict(
+                X[~self.small_U_pop, None])
+        adj_factor = predicted / y
+        adj_factor[~np.isfinite(adj_factor)] = 1
+        if skip_low_U_pop:
+            self.U_sz[:, ~self.small_U_pop] = \
+                self.U_sz[:, ~self.small_U_pop] * adj_factor[~self.small_U_pop]
+        else:
+            self.U_sz = self.U_sz * adj_factor
+        if normalize_total:
+            self.normalize_median(which="renormalize",
+                                  skip_low_U_pop=skip_low_U_pop)
+
+    def normalize_median(self, which: str = "imputed",
+                         skip_low_U_pop: bool = True) -> None:
+        """Median renormalization (reference :869-904)."""
+        if not hasattr(self, "small_U_pop") and skip_low_U_pop:
+            self.small_U_pop = np.zeros(self.U_sz.shape[1], dtype=bool)
+        if which == "renormalize":
+            self.S_sz = self.S_sz * (np.median(self.S_sz.sum(0)) /
+                                     self.S_sz.sum(0))
+            if skip_low_U_pop:
+                sub = self.U_sz[:, ~self.small_U_pop]
+                self.U_sz[:, ~self.small_U_pop] = sub * (
+                    np.median(sub.sum(0)) / sub.sum(0))
+            else:
+                self.U_sz = self.U_sz * (np.median(self.U_sz.sum(0)) /
+                                         self.U_sz.sum(0))
+        elif which == "imputed":
+            self.Sx_sz = self.Sx * (np.median(self.Sx.sum(0)) /
+                                    self.Sx.sum(0))
+            if skip_low_U_pop:
+                self.Ux_sz = np.copy(self.Ux)
+                sub = self.Ux[:, ~self.small_U_pop]
+                self.Ux_sz[:, ~self.small_U_pop] = sub * (
+                    np.median(sub.sum(0)) / sub.sum(0))
+            else:
+                self.Ux_sz = self.Ux * (np.median(self.Ux.sum(0)) /
+                                        self.Ux.sum(0))
+
+    # ------------------------------------------------------------------
+    # dimensionality reduction + smoothing (reference :678-702, :933-1118)
+    # ------------------------------------------------------------------
+
+    def perform_PCA(self, which: str = "S_norm",
+                    n_components: Optional[int] = None,
+                    div_by_std: bool = False) -> None:
+        """PCA with cells as samples via XLA SVD (reference :678-702)."""
+        X = getattr(self, which)
+        self.pca = PCA(n_components=n_components)
+        if div_by_std:
+            self.pcs = self.pca.fit_transform(X.T / X.std(0))
+        else:
+            self.pcs = self.pca.fit_transform(X.T)
+
+    def _perform_PCA_imputed(self, n_components: Optional[int] = None) -> None:
+        self.pcax = PCA(n_components=n_components)
+        self.pcsx = self.pcax.fit_transform(self.Sx_norm.T)
+
+    def knn_imputation(self, k: Optional[int] = None, pca_space: bool = True,
+                       metric: str = "euclidean", diag: float = 1,
+                       n_pca_dims: Optional[int] = None, maximum: bool = False,
+                       size_norm: bool = True, balanced: bool = False,
+                       b_sight: Optional[int] = None,
+                       b_maxl: Optional[int] = None,
+                       group_constraint: Union[str, np.ndarray, None] = None,
+                       n_jobs: int = 8) -> None:
+        """kNN smoothing of S_sz/U_sz -> Sx/Ux (reference :933-1023).
+
+        kNN search runs on TPU; greedy balancing on host; the smoothing
+        convolution is the gather/einsum TPU kernel.
+        """
+        N = self.S.shape[1]
+        if k is None:
+            k = int(N * 0.025)
+        if b_sight is None and balanced:
+            b_sight = np.minimum(int(k * 8), N - 1)
+        if b_maxl is None and balanced:
+            b_maxl = np.minimum(int(k * 4), N - 1)
+        space = self.pcs[:, :n_pca_dims] if pca_space else self.S_norm.T
+        if balanced:
+            if group_constraint is not None:
+                if isinstance(group_constraint, str) and \
+                        group_constraint == "clusters":
+                    constraint = np.array(self.cluster_ix)
+                else:
+                    constraint = np.asarray(group_constraint)
+                bknn = BalancedKNN(k=k, sight_k=b_sight, maxl=b_maxl,
+                                   metric=metric, constraint=constraint,
+                                   mode="distance", n_jobs=n_jobs)
+            else:
+                bknn = BalancedKNN(k=k, sight_k=b_sight, maxl=b_maxl,
+                                   metric=metric, mode="distance",
+                                   n_jobs=n_jobs)
+            bknn.fit(space)
+            self.knn = bknn.kneighbors_graph(mode="distance")
+        else:
+            if group_constraint is not None:
+                raise ValueError("group_constraint is currently supported "
+                                 "only if the argument balanced is set to True")
+            self.knn = knn_distance_matrix(space, metric=metric, k=k,
+                                           mode="distance", n_jobs=n_jobs)
+        connectivity = (self.knn > 0).astype(float)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            connectivity.setdiag(diag)
+        self.knn_smoothing_w = connectivity_to_weights(connectivity)
+        if size_norm:
+            self.Sx = convolve_by_sparse_weights(self.S_sz, self.knn_smoothing_w)
+            self.Ux = convolve_by_sparse_weights(self.U_sz, self.knn_smoothing_w)
+        else:
+            self.Sx = convolve_by_sparse_weights(self.S, self.knn_smoothing_w)
+            self.Ux = convolve_by_sparse_weights(self.U, self.knn_smoothing_w)
+        if maximum:
+            self.Sx = np.maximum(self.S_sz, self.Sx)
+            self.Ux = np.maximum(self.U_sz, self.Ux)
+        self.Sx_sz = np.copy(self.Sx)
+        self.Ux_sz = np.copy(self.Ux)
+
+    def knn_imputation_precomputed(self, knn_smoothing_w: sparse.spmatrix,
+                                   maximum: bool = False) -> None:
+        """Smoothing with a precomputed weight matrix (reference :1025-1053)."""
+        self.Sx = convolve_by_sparse_weights(self.S_sz, knn_smoothing_w)
+        self.Ux = convolve_by_sparse_weights(self.U_sz, knn_smoothing_w)
+        if maximum:
+            self.Sx = np.maximum(self.S_sz, self.Sx)
+            self.Ux = np.maximum(self.U_sz, self.Ux)
+        self.Sx_sz = np.copy(self.Sx)
+        self.Ux_sz = np.copy(self.Ux)
+
+    def gene_knn_imputation(self, k: int = 15, pca_space: bool = False,
+                            metric: str = "correlation", diag: float = 1,
+                            scale_weights: bool = True, balanced: bool = True,
+                            b_sight: int = 100, b_maxl: int = 18,
+                            n_jobs: int = 8) -> None:
+        """Gene-axis kNN smoothing (reference :1055-1118)."""
+        if pca_space:
+            raise NotImplementedError("pca_space=True not supported here")
+        space = self.Sx_sz
+        if balanced:
+            bknn = BalancedKNN(k=k, sight_k=b_sight, maxl=b_maxl,
+                               mode="distance", metric=metric, n_jobs=n_jobs)
+            bknn.fit(space)
+            self.gknn = bknn.kneighbors_graph(mode="distance")
+        else:
+            self.gknn = knn_distance_matrix(space, metric=metric, k=k,
+                                            mode="distance", n_jobs=n_jobs)
+        connectivity = (self.gknn > 0).astype(float)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            connectivity.setdiag(diag)
+        self.gknn_smoothing_w = connectivity_to_weights(connectivity).tocsr()
+        if scale_weights:
+            genes_total = np.asarray(space.sum(1)).ravel()
+            self.gknn_smoothing_w = scale_to_match_median(
+                self.gknn_smoothing_w, genes_total)
+        self.Sx_sz = convolve_by_sparse_weights(
+            np.ascontiguousarray(self.Sx_sz.T), self.gknn_smoothing_w).T
+        self.Ux_sz = convolve_by_sparse_weights(
+            np.ascontiguousarray(self.Ux_sz.T), self.gknn_smoothing_w).T
+
+    # ------------------------------------------------------------------
+    # gamma model (reference :1120-1439)
+    # ------------------------------------------------------------------
+
+    def fit_gammas(self, steady_state_bool: Optional[np.ndarray] = None,
+                   use_imputed_data: bool = True, use_size_norm: bool = True,
+                   fit_offset: bool = True, fixperc_q: bool = False,
+                   weighted: bool = True,
+                   weights: Union[str, np.ndarray] = "maxmin_diag",
+                   limit_gamma: bool = False,
+                   maxmin_perc: List[float] = [2, 98],
+                   maxmin_weighted_pow: float = 15) -> None:
+        """Fit per-gene degradation rates (reference :1120-1260), with the
+        per-gene scipy solves replaced by the vmapped closed forms in
+        ops.gamma."""
+        if steady_state_bool:
+            self.steady_state = steady_state_bool
+        else:
+            self.steady_state = np.ones(self.S.shape[1], dtype=bool)
+
+        if use_imputed_data:
+            tmpS = self.Sx_sz if use_size_norm else self.Sx
+            tmpU = self.Ux_sz if use_size_norm else self.Ux
+        else:
+            tmpS = self.S_sz if use_size_norm else self.S
+            tmpU = self.U_sz if use_size_norm else self.U
+
+        W = None
+        if weighted:
+            if type(weights) is np.ndarray:
+                W = weights
+            elif weights == "sum":
+                W = (tmpS / np.percentile(tmpS, 99, 1)[:, None]) + \
+                    (tmpU / np.percentile(tmpU, 99, 1)[:, None])
+            elif weights == "prod":
+                W = (tmpS / np.percentile(tmpS, 99, 1)[:, None]) * \
+                    (tmpU / np.percentile(tmpU, 99, 1)[:, None])
+            elif weights == "maxmin_weighted":
+                down, up = np.percentile(tmpS, maxmin_perc, 1)
+                Srange = np.clip(tmpS, down[:, None], up[:, None])
+                Srange = Srange - Srange.min(1)[:, None]
+                Srange = Srange / Srange.max(1)[:, None]
+                W = 0.5 * (Srange ** maxmin_weighted_pow +
+                           (1 - Srange) ** maxmin_weighted_pow)
+            elif weights == "maxmin":
+                down, up = np.percentile(tmpS, maxmin_perc, 1)
+                W = ((tmpS <= down[:, None]) |
+                     (tmpS >= up[:, None])).astype(float)
+            elif weights == "maxmin_diag":
+                denom_Sx = np.percentile(self.Sx, 99.9, 1)
+                if np.sum(denom_Sx == 0):
+                    denom_Sx[denom_Sx == 0] = np.maximum(
+                        np.max(self.Sx[denom_Sx == 0, :], 1), 0.001)
+                denom_Ux = np.percentile(self.Ux, 99.9, 1)
+                if np.sum(denom_Ux == 0):
+                    denom_Ux[denom_Ux == 0] = np.maximum(
+                        np.max(self.Ux[denom_Ux == 0, :], 1), 0.001)
+                X = self.Sx / denom_Sx[:, None] + self.Ux / denom_Ux[:, None]
+                down, up = np.percentile(X, maxmin_perc, axis=1)
+                W = ((X <= down[:, None]) | (X >= up[:, None])).astype(float)
+            elif weights == "maxmin_double":
+                denom_Sx = np.percentile(self.Sx, 99.9, 1)
+                denom_Sx[denom_Sx == 0] = np.maximum(
+                    np.max(self.Sx[denom_Sx == 0, :], 1), 0.001)
+                denom_Ux = np.percentile(self.Ux, 99.9, 1)
+                denom_Ux[denom_Ux == 0] = np.maximum(
+                    np.max(self.Ux[denom_Ux == 0, :], 1), 0.001)
+                X = self.Sx / denom_Sx[:, None] + self.Ux / denom_Ux[:, None]
+                down, up = np.percentile(X, maxmin_perc, axis=1)
+                W = ((X <= down[:, None]) | (X >= up[:, None])).astype(float)
+                down, up = np.percentile(self.Sx, maxmin_perc, 1)
+                W = W + ((self.Sx <= down[:, None]) |
+                         (self.Sx >= up[:, None])).astype(float)
+
+        if fit_offset:
+            if weighted:
+                self.gammas, self.q, self.R2 = fit_slope_weighted_offset(
+                    tmpU[:, self.steady_state], tmpS[:, self.steady_state],
+                    W, return_R2=True, limit_gamma=limit_gamma)
+            else:
+                self.gammas, self.q = fit_slope_offset(
+                    tmpU[:, self.steady_state], tmpS[:, self.steady_state])
+        elif fixperc_q:
+            if weighted:
+                self.gammas, self.q = fit_slope_weighted_offset(
+                    tmpU[:, self.steady_state], tmpS[:, self.steady_state],
+                    W, fixperc_q=True, return_R2=False,
+                    limit_gamma=limit_gamma)
+            else:
+                self.gammas, self.q = fit_slope_offset(
+                    tmpU[:, self.steady_state], tmpS[:, self.steady_state],
+                    fixperc_q=True)
+        else:
+            if weighted:
+                self.gammas, self.R2 = fit_slope_weighted(
+                    tmpU[:, self.steady_state], tmpS[:, self.steady_state],
+                    W, return_R2=True, limit_gamma=limit_gamma)
+                self.q = np.zeros_like(self.gammas)
+            else:
+                self.gammas = fit_slope(tmpU[:, self.steady_state],
+                                        tmpS[:, self.steady_state])
+                self.q = np.zeros_like(self.gammas)
+        self.gammas[~np.isfinite(self.gammas)] = 0
+
+    def filter_genes_good_fit(self, minR: float = 0.1,
+                              min_gamma: float = 0.01) -> None:
+        return self.filter_genes_by_phase_portrait(minR2=minR,
+                                                   min_gamma=min_gamma,
+                                                   minCorr=None)
+
+    def filter_genes_by_phase_portrait(self, minR2: float = 0.1,
+                                       min_gamma: float = 0.01,
+                                       minCorr: float = 0.1) -> None:
+        """Drop genes with bad phase portraits (reference :1267-1319)."""
+        def paired_correlation_rows(A, B):
+            A_m = A - A.mean(1)[:, None]
+            B_m = B - B.mean(1)[:, None]
+            return (A_m * B_m).sum(1) / (np.linalg.norm(A_m, 2, 1) *
+                                         np.linalg.norm(B_m, 2, 1))
+        tmp_filter = np.ones(self.gammas.shape, dtype=bool)
+        if minR2 is not None:
+            R2_corrected = np.sqrt(np.abs(self.R2)) * np.sign(self.R2)
+            tmp_filter = tmp_filter & (R2_corrected > minR2)
+        if min_gamma is not None:
+            tmp_filter = tmp_filter & (self.gammas > min_gamma)
+        if minCorr is not None:
+            Corr = paired_correlation_rows(self.Sx_sz, self.Ux_sz)
+            tmp_filter = tmp_filter & (Corr > minCorr)
+        self.ra = {k: v[tmp_filter] for k, v in self.ra.items()}
+        matrixes2filter = ["U", "U_sz", "U_norm", "Ux", "Ux_sz", "Ux_norm",
+                           "S", "S_sz", "S_norm", "Sx", "Sx_sz", "Sx_norm"]
+        vectors2filter = ["gammas", "q", "R2"]
+        for name_attr in matrixes2filter:
+            if hasattr(self, name_attr):
+                setattr(self, name_attr, getattr(self, name_attr)[tmp_filter, :])
+        for name_attr in vectors2filter:
+            if hasattr(self, name_attr):
+                setattr(self, name_attr, getattr(self, name_attr)[tmp_filter])
+
+    def predict_U(self, which_gamma: str = "gammas", which_S: str = "Sx_sz",
+                  which_offset: str = "q") -> None:
+        """Upred = gamma * S (+ q) (reference :1321-1346)."""
+        self.which_S_for_pred = which_S
+        if which_offset is None:
+            self.Upred = getattr(self, which_gamma)[:, None] * \
+                getattr(self, which_S)
+        else:
+            self.Upred = getattr(self, which_gamma)[:, None] * \
+                getattr(self, which_S) + getattr(self, which_offset)[:, None]
+
+    def calculate_velocity(self, kind: str = "residual",
+                           eps: Optional[float] = None) -> None:
+        """velocity = U - Upred (reference :1348-1379)."""
+        if kind == "residual":
+            if self.which_S_for_pred == "Sx_sz":
+                self.velocity = self.Ux_sz - self.Upred
+            elif self.which_S_for_pred == "Sx":
+                self.velocity = self.Ux - self.Upred
+            else:
+                raise NotImplementedError(
+                    f"Not implemented with which_S = {self.which_S_for_pred}")
+        else:
+            raise NotImplementedError(
+                f"Velocity calculation kind={kind} is not implemented")
+        if eps:
+            minimal_signed_res = self.Upred.max(1) * eps
+            self.velocity[np.abs(self.velocity) <
+                          minimal_signed_res[:, None]] = 0
+
+    def calculate_shift(self, assumption: str = "constant_velocity",
+                        delta_t: float = 1) -> None:
+        """delta_S extrapolation (Model I / Model II, reference :1381-1408)."""
+        if assumption == "constant_velocity":
+            self.delta_S = delta_t * self.velocity
+        elif assumption == "constant_unspliced":
+            Ux_szo = self.Ux_sz - self.q[:, None]
+            Ux_szo[Ux_szo < 0] = 0
+            egt = np.exp(-self.gammas * delta_t)[:, None]
+            self.delta_S = self.Sx_sz * egt + \
+                (1 - egt) * Ux_szo / self.gammas[:, None] - self.Sx_sz
+        else:
+            raise NotImplementedError(
+                f"Assumption {assumption} is not implemented")
+
+    def extrapolate_cell_at_t(self, delta_t: float = 1,
+                              clip: bool = True) -> None:
+        """Extrapolated expression (reference :1410-1439)."""
+        if self.which_S_for_pred == "Sx_sz":
+            self.Sx_sz_t = self.Sx_sz + delta_t * self.delta_S
+            if clip:
+                self.Sx_sz_t = np.clip(self.Sx_sz_t, 0, None)
+                self.used_delta_t = delta_t
+        elif self.which_S_for_pred == "Sx":
+            self.Sx_t = self.Sx + delta_t * self.delta_S
+            if clip:
+                self.Sx_t = np.clip(self.Sx_t, 0, None)
+                self.used_delta_t = delta_t
+        else:
+            raise NotImplementedError(
+                "not implemented for other situations other than Sx or Sx_sz")
+
+    def perform_TSNE(self, n_dims: int = 2, perplexity: float = 30,
+                     initial_pos: Optional[np.ndarray] = None,
+                     theta: float = 0.5, n_pca_dim: Optional[int] = None,
+                     max_iter: int = 1000) -> None:
+        """Barnes-Hut TSNE on the PCA space (reference :1441-1450; delegates
+        to sklearn exactly as the reference does)."""
+        from sklearn.manifold import TSNE
+        if initial_pos is None:
+            initial_pos = "random"
+        bh_tsne = TSNE(n_components=n_dims, perplexity=perplexity,
+                       angle=theta, init=initial_pos, max_iter=max_iter)
+        self.ts = bh_tsne.fit_transform(self.pcs[:, :n_pca_dim])
+
+    # ------------------------------------------------------------------
+    # velocity -> embedding projection (reference :1452-1816)
+    # ------------------------------------------------------------------
+
+    def estimate_transition_prob(self, hidim: str = "Sx_sz",
+                                 embed: str = "ts", transform: str = "sqrt",
+                                 ndims: Optional[int] = None,
+                                 n_sight: Optional[int] = None,
+                                 psc: Optional[float] = None,
+                                 knn_random: bool = True,
+                                 sampled_fraction: float = 0.3,
+                                 sampling_probs: Tuple[float, float] = (0.5, 0.1),
+                                 max_dist_embed: Optional[float] = None,
+                                 n_jobs: int = 4,
+                                 threads: Optional[int] = None,
+                                 calculate_randomized: bool = True,
+                                 random_seed: int = 15071990,
+                                 **kwargs: Any) -> None:
+        """Correlation-based transition probabilities to the embedding
+        neighborhood (reference :1452-1668).  The correlation kernels run
+        on TPU (ops.coldeltacor); kNN + neighbor sampling reproduce the
+        reference's numpy RNG sequence."""
+        numba_random_seed(random_seed)
+        self.which_hidim = hidim
+
+        if "n_neighbors" in kwargs:
+            n_neighbors = kwargs.pop("n_neighbors")
+            if len(kwargs) > 0:
+                logging.warning(f"keyword arguments were passed but could "
+                                f"not be interpreted {kwargs}")
+        else:
+            n_neighbors = None
+        if n_sight is None and n_neighbors is None:
+            n_neighbors = int(self.S.shape[1] / 5)
+        if (n_sight is not None) and (n_neighbors is not None) and \
+                n_neighbors != n_sight:
+            raise ValueError("n_sight and n_neighbors are different names "
+                             "for the same parameter, they cannot be set "
+                             "differently")
+        if n_sight is not None and n_neighbors is None:
+            n_neighbors = n_sight
+
+        if psc is None:
+            if transform in ("log", "logratio"):
+                psc = 1.0
+            elif transform == "sqrt":
+                psc = 1e-10
+            else:
+                psc = 0.0
+
+        if "pcs" in hidim:  # sic (reference :1531)
+            hi_dim = np.array(getattr(self, hidim).T[:, :ndims], order="C")
+            hi_dim_t = np.array(getattr(self, hidim + "_t").T[:, :ndims],
+                                order="C")
+        else:
+            if ndims is not None:
+                raise ValueError(
+                    f"ndims was set to {ndims} but hidim != 'pcs'. "
+                    f"Set ndims = None for hidim='{hidim}'")
+            hi_dim = getattr(self, hidim)
+            hi_dim_t = hi_dim + self.used_delta_t * self.delta_S
+            if calculate_randomized:
+                self.delta_S_rndm = np.copy(self.delta_S)
+                permute_rows_nsign(self.delta_S_rndm)
+                hi_dim_t_rndm = hi_dim + self.used_delta_t * self.delta_S_rndm
+
+        embedding = getattr(self, embed)
+        self.embedding = embedding
+        nn_k = min(n_neighbors + 1, embedding.shape[0])
+        _dists, neigh_full = knn_search(embedding, nn_k)
+        self.embedding_knn = sparse.csr_matrix(
+            (np.ones(embedding.shape[0] * nn_k), neigh_full.ravel(),
+             np.arange(0, embedding.shape[0] * nn_k + 1, nn_k)),
+            shape=(embedding.shape[0], embedding.shape[0]))
+
+        if knn_random:
+            np.random.seed(random_seed)
+            self.corr_calc = "knn_random"
+            # Pick random neighbours and prune the rest (reference :1551-1572)
+            neigh_ixs = neigh_full
+            p = np.linspace(sampling_probs[0], sampling_probs[1],
+                            neigh_ixs.shape[1])
+            p = p / p.sum()
+            sampling_ixs = np.stack(
+                [np.random.choice(neigh_ixs.shape[1],
+                                  size=(int(sampled_fraction * nn_k),),
+                                  replace=False, p=p)
+                 for _ in range(neigh_ixs.shape[0])], 0)
+            self.sampling_ixs = sampling_ixs
+            neigh_ixs = neigh_ixs[np.arange(neigh_ixs.shape[0])[:, None],
+                                  sampling_ixs]
+            nonzero = neigh_ixs.shape[0] * neigh_ixs.shape[1]
+            self.embedding_knn = sparse.csr_matrix(
+                (np.ones(nonzero), neigh_ixs.ravel(),
+                 np.arange(0, nonzero + 1, neigh_ixs.shape[1])),
+                shape=(neigh_ixs.shape[0], neigh_ixs.shape[0]))
+
+            tf, emat, d_main, d_rndm = self._transform_for_corr(
+                transform, psc, hi_dim, hi_dim_t,
+                hi_dim_t_rndm if calculate_randomized else None)
+            self.corrcoef = col_delta_cor_partial(emat, d_main, neigh_ixs,
+                                                  tf, psc)
+            if calculate_randomized:
+                self.corrcoef_random = col_delta_cor_partial(
+                    emat, d_rndm, neigh_ixs, tf, psc)
+            np.fill_diagonal(self.corrcoef, 0)
+            if np.any(np.isnan(self.corrcoef)):
+                self.corrcoef[np.isnan(self.corrcoef)] = 1
+                logging.warning(
+                    "Nans encountered in corrcoef and corrected to 1s. "
+                    "If not identical cells were present it is probably "
+                    "a small isolated cluster converging after imputation.")
+            if calculate_randomized:
+                np.fill_diagonal(self.corrcoef_random, 0)
+                if np.any(np.isnan(self.corrcoef_random)):
+                    self.corrcoef_random[np.isnan(self.corrcoef_random)] = 1
+        else:
+            self.corr_calc = "full"
+            tf, emat, d_main, d_rndm = self._transform_for_corr(
+                transform, psc, hi_dim, hi_dim_t,
+                hi_dim_t_rndm if calculate_randomized else None)
+            self.corrcoef = col_delta_cor(emat, d_main, tf, psc)
+            if calculate_randomized:
+                self.corrcoef_random = col_delta_cor(emat, d_rndm, tf, psc)
+            np.fill_diagonal(self.corrcoef, 0)
+            if calculate_randomized:
+                np.fill_diagonal(self.corrcoef_random, 0)
+
+    def _transform_for_corr(self, transform: str, psc: float,
+                            hi_dim: np.ndarray, hi_dim_t: np.ndarray,
+                            hi_dim_t_rndm: Optional[np.ndarray]):
+        """Prepare (kernel transform name, emat, dmat, dmat_random) for the
+        colDeltaCor call, replicating reference :1575-1601."""
+        if transform == "log":
+            delta = hi_dim_t - hi_dim
+            d_main = np.log10(np.abs(delta) + psc) * np.sign(delta)
+            d_rndm = None
+            if hi_dim_t_rndm is not None:
+                dr = hi_dim_t_rndm - hi_dim
+                d_rndm = np.log10(np.abs(dr) + psc) * np.sign(dr)
+            return "log10", hi_dim, d_main, d_rndm
+        if transform == "logratio":
+            log2hidim = np.log2(hi_dim + psc)
+            d_main = np.log2(np.abs(hi_dim_t) + psc) - log2hidim
+            d_rndm = None
+            if hi_dim_t_rndm is not None:
+                d_rndm = np.log2(np.abs(hi_dim_t_rndm) + psc) - log2hidim
+            return "linear", log2hidim, d_main, d_rndm
+        if transform == "linear":
+            d_rndm = None if hi_dim_t_rndm is None else hi_dim_t_rndm - hi_dim
+            return "linear", hi_dim, hi_dim_t - hi_dim, d_rndm
+        if transform == "sqrt":
+            delta = hi_dim_t - hi_dim
+            d_main = np.sqrt(np.abs(delta) + psc) * np.sign(delta)
+            d_rndm = None
+            if hi_dim_t_rndm is not None:
+                dr = hi_dim_t_rndm - hi_dim
+                d_rndm = np.sqrt(np.abs(dr) + psc) * np.sign(dr)
+            return "sqrt", hi_dim, d_main, d_rndm
+        raise NotImplementedError(
+            f"transform={transform} is not a valid parameter")
+
+    def calculate_embedding_shift(self, sigma_corr: float = 0.05,
+                                  expression_scaling: bool = True,
+                                  scaling_penalty: float = 1.0) -> None:
+        """Project velocity onto the embedding (reference :1670-1733).
+        The O(N^2) unit-vector contraction runs as a blocked jitted XLA
+        kernel instead of materializing the (2, N, N) dense tensor."""
+        if self.corr_calc not in ("full", "knn_random"):
+            raise NotImplementedError(
+                f"Weird value self.corr_calc={self.corr_calc}")
+        knn_dense = self.embedding_knn.toarray().astype(np.float32)
+        self.transition_prob = np.exp(self.corrcoef / sigma_corr) * knn_dense
+        self.transition_prob /= self.transition_prob.sum(1)[:, None]
+        if hasattr(self, "corrcoef_random"):
+            self.transition_prob_random = np.exp(
+                self.corrcoef_random / sigma_corr) * knn_dense
+            self.transition_prob_random /= \
+                self.transition_prob_random.sum(1)[:, None]
+
+        emb = self.embedding.astype(np.float32)
+        knn_rowsum = knn_dense.sum(1)
+        de = _embedding_shift_blocked(
+            jnp.asarray(emb), jnp.asarray(self.transition_prob,
+                                          dtype=jnp.float32),
+            jnp.asarray(knn_dense), jnp.asarray(knn_rowsum))
+        self.delta_embedding = np.asarray(de, dtype=np.float64)
+
+        if expression_scaling:
+            hi_dim = getattr(self, self.which_hidim)
+            estim_delta = hi_dim.dot(self.transition_prob.T) - \
+                hi_dim.dot((knn_dense / knn_rowsum[:, None]).T)
+            cos_proj = (self.delta_S * estim_delta).sum(0) / \
+                np.sqrt((estim_delta ** 2).sum(0))
+            self.scaling = np.clip(cos_proj / scaling_penalty, 0, 1)
+            self.delta_embedding = self.delta_embedding * self.scaling[:, None]
+
+        if hasattr(self, "corrcoef_random"):
+            de_r = _embedding_shift_blocked(
+                jnp.asarray(emb), jnp.asarray(self.transition_prob_random,
+                                              dtype=jnp.float32),
+                jnp.asarray(knn_dense), jnp.asarray(knn_rowsum))
+            self.delta_embedding_random = np.asarray(de_r, dtype=np.float64)
+            if expression_scaling:
+                estim_delta_rndm = hi_dim.dot(self.transition_prob_random.T) - \
+                    hi_dim.dot((knn_dense / knn_rowsum[:, None]).T)
+                cos_proj_rndm = (self.delta_S_rndm * estim_delta_rndm).sum(0) / \
+                    np.sqrt((estim_delta_rndm ** 2).sum(0))
+                self.scaling_rndm = np.clip(cos_proj_rndm / scaling_penalty,
+                                            0, 1)
+                self.delta_embedding_random = \
+                    self.delta_embedding_random * self.scaling_rndm[:, None]
+
+    def calculate_grid_arrows(self, embed: str = "embedding",
+                              smooth: float = 0.5,
+                              steps: Tuple = (40, 40),
+                              n_neighbors: int = 100,
+                              n_jobs: int = 4) -> None:
+        """Gaussian-kernel grid vector field (reference :1735-1816)."""
+        embedding = getattr(self, embed)
+        if hasattr(self, f"delta_{embed}"):
+            delta_embedding = getattr(self, f"delta_{embed}")
+            if hasattr(self, "corrcoef_random"):
+                delta_embedding_random = getattr(self, f"delta_{embed}_random")
+        else:
+            raise KeyError("This embedding does not have a delta_*")
+        grs = []
+        for dim_i in range(embedding.shape[1]):
+            m, M = np.min(embedding[:, dim_i]), np.max(embedding[:, dim_i])
+            m = m - 0.025 * np.abs(M - m)
+            M = M + 0.025 * np.abs(M - m)
+            grs.append(np.linspace(m, M, steps[dim_i]))
+        meshes_tuple = np.meshgrid(*grs)
+        gridpoints_coordinates = np.vstack([i.flat for i in meshes_tuple]).T
+
+        dists, neighs = knn_query(embedding, gridpoints_coordinates,
+                                  min(n_neighbors, embedding.shape[0]))
+        std = np.mean([(g[1] - g[0]) for g in grs])
+        gaussian_w = normal.pdf(loc=0, scale=smooth * std, x=dists)
+        self.total_p_mass = gaussian_w.sum(1)
+
+        UZ = (delta_embedding[neighs] * gaussian_w[:, :, None]).sum(1) / \
+            np.maximum(1, self.total_p_mass)[:, None]
+        magnitude = np.linalg.norm(UZ, axis=1)
+        self.flow_embedding = embedding
+        self.flow_grid = gridpoints_coordinates
+        self.flow = UZ
+        self.flow_norm = UZ / np.percentile(magnitude, 99.5)
+        self.flow_norm_magnitude = np.linalg.norm(self.flow_norm, axis=1)
+
+        if hasattr(self, "corrcoef_random"):
+            UZ_rndm = (delta_embedding_random[neighs] *
+                       gaussian_w[:, :, None]).sum(1) / \
+                np.maximum(1, self.total_p_mass)[:, None]
+            magnitude_rndm = np.linalg.norm(UZ, axis=1)
+            self.flow_rndm = UZ_rndm
+            self.flow_norm_rndm = UZ_rndm / np.percentile(magnitude_rndm, 99.5)
+            self.flow_norm_magnitude_rndm = np.linalg.norm(self.flow_norm_rndm,
+                                                           axis=1)
+
+    # ------------------------------------------------------------------
+    # markov diffusion (reference :1818-1887)
+    # ------------------------------------------------------------------
+
+    def prepare_markov(self, sigma_D: float, sigma_W: float,
+                       direction: str = "forward",
+                       cells_ixs: Optional[np.ndarray] = None) -> None:
+        """Build the Markov transition matrix (reference :1818-1863)."""
+        if cells_ixs is None:
+            cells_ixs = np.arange(self.transition_prob.shape[0])
+        if direction == "forward":
+            self.tr = np.array(self.transition_prob[cells_ixs, :][:, cells_ixs])
+        elif direction == "backwards":
+            self.tr = np.array(
+                (self.transition_prob[cells_ixs, :][:, cells_ixs]).T,
+                order="C")
+        else:
+            raise NotImplementedError(
+                f"{direction} is not an implemented direction")
+        dist_matrix = squareform(pdist(self.embedding[cells_ixs, :]))
+        K_D = gaussian_kernel(dist_matrix, sigma=sigma_D)
+        self.tr = self.tr * K_D
+        np.fill_diagonal(self.tr, self.tr.max(1))
+        self.tr = self.tr / self.tr.sum(1)[:, None]
+        K_W = gaussian_kernel(dist_matrix, sigma=sigma_W)
+        K_W = K_W / K_W.sum(1)[:, None]
+        self.tr = 0.8 * self.tr + 0.2 * K_W
+        self.tr = self.tr / self.tr.sum(1)[:, None]
+        self.tr = sparse.csr_matrix(self.tr)
+
+    def run_markov(self, starting_p: Optional[np.ndarray] = None,
+                   n_steps: int = 2500,
+                   mode: str = "time_evolution") -> None:
+        """Run the diffusion process (reference :1865-1887)."""
+        if starting_p is None:
+            starting_p = np.ones(self.tr.shape[0]) / self.tr.shape[0]
+        diffusor = Diffusion()
+        self.diffused = diffusor.diffuse(starting_p, self.tr,
+                                         n_steps=n_steps, mode=mode)[0]
+
+    # ------------------------------------------------------------------
+    # deprecated one-shot defaults (reference :1889-1964)
+    # ------------------------------------------------------------------
+
+    def default_filter_and_norm(self, min_expr_counts: Optional[int] = None,
+                                min_cells_express: Optional[int] = None,
+                                N: Optional[int] = None,
+                                min_avg_U: Optional[float] = None,
+                                min_avg_S: Optional[float] = None) -> None:
+        """Heuristic filtering + normalization (reference :1889-1940)."""
+        if min_expr_counts is None:
+            min_expr_counts = max(20, min(100, self.S.shape[1] * 2.25e-3))
+        if min_cells_express is None:
+            min_cells_express = max(10, min(50, self.S.shape[1] * 1.5e-3))
+        if N is None:
+            N = max(1000, min(int((self.S.shape[1] / 1000) ** (1 / 3) / 0.0008),
+                              5000))
+        if min_avg_U is None:
+            min_avg_U = 0.01
+        if min_avg_S is None:
+            min_avg_S = 0.08
+        self.normalize("S", size=True, log=False)
+        self.normalize("U", size=True, log=False)
+        self.score_detection_levels(min_expr_counts=min_expr_counts,
+                                    min_cells_express=min_cells_express)
+        self.filter_genes(by_detection_levels=True)
+        self.score_cv_vs_mean(N=N, max_expr_avg=40)
+        self.filter_genes(by_cv_vs_mean=True)
+        self.score_detection_levels(
+            min_expr_counts=0, min_cells_express=0,
+            min_expr_counts_U=int(min_expr_counts / 2) + 1,
+            min_cells_express_U=int(min_cells_express / 2) + 1)
+        if hasattr(self, "cluster_labels"):
+            self.score_cluster_expression(min_avg_U=min_avg_U,
+                                          min_avg_S=min_avg_S)
+            self.filter_genes(by_detection_levels=True,
+                              by_cluster_expression=True)
+        else:
+            self.filter_genes(by_detection_levels=True)
+        self.normalize_by_total()
+        self.adjust_totS_totU(normalize_total=True)
+
+    def default_fit_preparation(self, k: Optional[int] = None,
+                                n_comps: Optional[int] = None) -> None:
+        """Heuristic PCA + kNN smoothing (reference :1942-1964)."""
+        self.perform_PCA()
+        if n_comps is None:
+            n_comps = int(np.where(np.diff(np.diff(np.cumsum(
+                self.pca.explained_variance_ratio_)) > 0.002))[0][0])
+        if k is None:
+            k = int(min(1000, max(10, np.ceil(self.S.shape[1] * 0.02))))
+        self.knn_imputation(n_pca_dims=n_comps, k=k, balanced=True,
+                            b_sight=int(min(k * 8, self.S.shape[1] - 1)),
+                            b_maxl=int(min(k * 4, self.S.shape[1] - 1)))
+        self.normalize_median()
+
+    # ------------------------------------------------------------------
+    # plotting (host-side matplotlib; reference :96-135, :1966-2312)
+    # ------------------------------------------------------------------
+
+    def plot_fractions(self, save2file: Optional[str] = None) -> None:
+        """Barplot of spliced/unspliced abundance (reference :96-135)."""
+        plt = _plt()
+        plt.figure(figsize=(3.2, 5))
+        try:
+            chips, chip_ix = np.unique(self.ca["SampleID"], return_inverse=1)
+        except KeyError:
+            chips, chip_ix = np.unique([i.split(":")[0]
+                                        for i in self.ca["CellID"]],
+                                       return_inverse=1)
+        n = len(chips)
+        for i in np.unique(chip_ix):
+            tot_mol_cell_submatrixes = [X[:, chip_ix == i].sum(0)
+                                        for X in [self.S, self.A, self.U]]
+            total = np.sum(tot_mol_cell_submatrixes, 0)
+            _mean = [np.mean(j / total) for j in tot_mol_cell_submatrixes]
+            _std = [np.std(j / total) for j in tot_mol_cell_submatrixes]
+            plt.ylabel("Fraction")
+            plt.bar(np.linspace(-0.2, 0.2, n)[i] + np.arange(3), _mean,
+                    0.5 / (n * 1.05), label=chips[i])
+            plt.errorbar(np.linspace(-0.2, 0.2, n)[i] + np.arange(3), _mean,
+                         _std, c="k", fmt="none", lw=1, capsize=2)
+            plt.gca().spines['right'].set_visible(False)
+            plt.gca().spines['top'].set_visible(False)
+            plt.gca().yaxis.set_ticks_position('left')
+            plt.gca().xaxis.set_ticks_position('bottom')
+            plt.gca().spines['left'].set_bounds(0, 0.8)
+            plt.legend()
+        plt.xticks(np.arange(3), ["spliced", "ambiguous", "unspliced"])
+        plt.tight_layout()
+        if save2file:
+            plt.savefig(save2file, bbox_inches="tight")
+
+    def plot_pca(self, dim: List[int] = [0, 1, 2], elev: float = 60,
+                 azim: float = -140) -> None:
+        """3D PCA scatter (reference :906-915)."""
+        plt = _plt()
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot(111, projection="3d")
+        ax.scatter(self.pcs[:, dim[0]], self.pcs[:, dim[1]],
+                   self.pcs[:, dim[2]], c=self.colorandum)
+        ax.view_init(elev=elev, azim=azim)
+
+    def _plot_phase_portrait(self, gene: Optional[str], gs_i: Any = None) -> None:
+        plt = _plt()
+        if gene is None:
+            plt.subplot(111)
+        else:
+            plt.subplot(gs_i)
+        ix = np.where(self.ra["Gene"] == gene)[0][0]
+        scatter_viz(self.Sx_sz[ix, :], self.Ux_sz[ix, :], c=self.colorandum,
+                    s=5, alpha=0.4)
+        plt.title(gene)
+        xnew = np.linspace(0, self.Sx_sz[ix, :].max())
+        plt.plot(xnew, self.gammas[ix] * xnew + self.q[ix], c="k")
+
+    def plot_phase_portraits(self, genes: List[str]) -> None:
+        """Phase portrait grid (reference :1979-1991)."""
+        plt = _plt()
+        n = len(genes)
+        sqrtn = int(np.ceil(np.sqrt(n)))
+        gs = plt.GridSpec(sqrtn, int(np.ceil(n / sqrtn)))
+        for i, gn in enumerate(genes):
+            self._plot_phase_portrait(gn, gs[i])
+
+    def plot_grid_arrows(self, quiver_scale: Union[str, float] = "auto",
+                         scale_type: str = "relative", min_mass: float = 1,
+                         min_magnitude: Optional[float] = None,
+                         scatter_kwargs_dict: Optional[Dict] = None,
+                         plot_dots: bool = False, plot_random: bool = False,
+                         **quiver_kwargs: Any) -> None:
+        """Grid vector-field plot (reference :1993-2093)."""
+        plt = _plt()
+        _quiver_kwargs = {"angles": "xy", "scale_units": "xy",
+                          "minlength": 1.5}
+        _quiver_kwargs.update(quiver_kwargs)
+        scatter_dict = {"s": 20, "zorder": -1, "alpha": 0.2, "lw": 0,
+                        "c": self.colorandum}
+        if scatter_kwargs_dict is not None:
+            scatter_dict.update(scatter_kwargs_dict)
+        if scale_type == "relative":
+            if hasattr(self, "flow_rndm"):
+                plot_scale = np.linalg.norm(
+                    np.max(self.flow_grid, 0) - np.min(self.flow_grid, 0), 2)
+                arrows_scale = np.percentile(np.linalg.norm(
+                    self.flow_rndm[self.total_p_mass >= min_mass, :], 2, 1), 90)
+                if quiver_scale == "auto":
+                    quiver_scale = arrows_scale / (plot_scale * 0.0025)
+                else:
+                    quiver_scale = quiver_scale * arrows_scale / \
+                        (plot_scale * 0.0025)
+            else:
+                raise ValueError(
+                    "`scale_type` was set to 'relative' but the randomized "
+                    "control was not computed when running "
+                    "estimate_transition_prob")
+        mass_filter = self.total_p_mass < min_mass
+        if min_magnitude is None:
+            XY, UV = np.copy(self.flow_grid), np.copy(self.flow)
+            if not plot_dots:
+                UV = UV[~mass_filter, :]
+                XY = XY[~mass_filter, :]
+            else:
+                UV[mass_filter, :] = 0
+        else:
+            XY, UV = np.copy(self.flow_grid), np.copy(self.flow_norm)
+            if not plot_dots:
+                sel = ~(mass_filter | (self.flow_norm_magnitude < min_magnitude))
+                UV = UV[sel, :]
+                XY = XY[sel, :]
+            else:
+                UV[mass_filter |
+                   (self.flow_norm_magnitude < min_magnitude), :] = 0
+        if plot_random:
+            if min_magnitude is None:
+                XYr, UV_rndm = np.copy(self.flow_grid), np.copy(self.flow_rndm)
+                if not plot_dots:
+                    UV_rndm = UV_rndm[~mass_filter, :]
+                    XYr = XYr[~mass_filter, :]
+                else:
+                    UV_rndm[mass_filter, :] = 0
+            else:
+                XYr, UV_rndm = np.copy(self.flow_grid), \
+                    np.copy(self.flow_norm_rndm)
+                if not plot_dots:
+                    sel = ~(mass_filter |
+                            (self.flow_norm_magnitude_rndm < min_magnitude))
+                    UV_rndm = UV_rndm[sel, :]
+                    XYr = XYr[sel, :]
+                else:
+                    UV_rndm[mass_filter |
+                            (self.flow_norm_magnitude_rndm < min_magnitude),
+                            :] = 0
+            plt.subplot(122)
+            plt.title("Randomized")
+            plt.scatter(self.flow_embedding[:, 0], self.flow_embedding[:, 1],
+                        **scatter_dict)
+            plt.quiver(XYr[:, 0], XYr[:, 1], UV_rndm[:, 0], UV_rndm[:, 1],
+                       scale=quiver_scale, zorder=20000, **_quiver_kwargs)
+            plt.axis("off")
+            plt.subplot(121)
+            plt.title("Data")
+        plt.scatter(self.flow_embedding[:, 0], self.flow_embedding[:, 1],
+                    **scatter_dict)
+        plt.quiver(XY[:, 0], XY[:, 1], UV[:, 0], UV[:, 1],
+                   scale=quiver_scale, zorder=20000, **_quiver_kwargs)
+        plt.axis("off")
+
+    def plot_arrows_embedding(self, choice: Union[str, int] = "auto",
+                              quiver_scale: Union[str, float] = "auto",
+                              scale_type: str = "relative",
+                              plot_scatter: bool = False,
+                              scatter_kwargs: Dict = {},
+                              color_arrow: str = "cluster",
+                              new_fig: bool = False,
+                              plot_random: bool = True,
+                              **quiver_kwargs: Any) -> None:
+        """Cell-wise arrow plot (reference :2095-2190)."""
+        plt = _plt()
+        if choice == "auto":
+            choice = int(self.S.shape[1] / 3)
+        _quiver_kwargs = {"angles": "xy", "scale_units": "xy",
+                          "minlength": 1.5}
+        _scatter_kwargs = dict(c="0.8", alpha=0.4, s=10,
+                               edgecolor=(0, 0, 0, 1), lw=0.3)
+        _scatter_kwargs.update(scatter_kwargs)
+        if new_fig:
+            if plot_random and hasattr(self, "delta_embedding_random"):
+                plt.figure(figsize=(22, 12))
+            else:
+                plt.figure(figsize=(14, 14))
+        ix_choice = np.random.choice(self.embedding.shape[0], size=choice,
+                                     replace=False)
+        if scale_type == "relative":
+            if hasattr(self, "delta_embedding_random"):
+                plot_scale = np.linalg.norm(
+                    np.max(self.flow_grid, 0) - np.min(self.flow_grid, 0), 2)
+                arrows_scale = np.percentile(np.linalg.norm(
+                    self.delta_embedding_random, 2, 1), 80)
+                if quiver_scale == "auto":
+                    quiver_scale = arrows_scale / (plot_scale * 0.005)
+                else:
+                    quiver_scale = quiver_scale * arrows_scale / \
+                        (plot_scale * 0.005)
+            else:
+                raise ValueError(
+                    "`scale_type` was set to 'relative' but the randomized "
+                    "control was not computed when running "
+                    "estimate_transition_prob")
+        if color_arrow == "cluster":
+            colorandum = self.colorandum[ix_choice, :]
+        else:
+            colorandum = color_arrow
+        _quiver_kwargs.update({"color": colorandum})
+        _quiver_kwargs.update(quiver_kwargs)
+        if plot_random and hasattr(self, "delta_embedding_random"):
+            plt.subplot(122)
+            plt.title("Randomized")
+            if plot_scatter:
+                plt.scatter(self.embedding[:, 0], self.embedding[:, 1],
+                            **_scatter_kwargs)
+            plt.quiver(self.embedding[ix_choice, 0],
+                       self.embedding[ix_choice, 1],
+                       self.delta_embedding_random[ix_choice, 0],
+                       self.delta_embedding_random[ix_choice, 1],
+                       scale=quiver_scale, **_quiver_kwargs)
+            plt.axis("off")
+            plt.subplot(121)
+            plt.title("Data")
+        if plot_scatter:
+            plt.scatter(self.embedding[:, 0], self.embedding[:, 1],
+                        **_scatter_kwargs)
+        plt.quiver(self.embedding[ix_choice, 0], self.embedding[ix_choice, 1],
+                   self.delta_embedding[ix_choice, 0],
+                   self.delta_embedding[ix_choice, 1],
+                   scale=quiver_scale, **_quiver_kwargs)
+        plt.axis("off")
+
+    def plot_cell_transitions(self, cell_ix: int = 0, alpha: float = 0.1,
+                              alpha_neigh: float = 0.2,
+                              cmap_name: str = "RdBu_r",
+                              plot_arrow: bool = True,
+                              mark_cell: bool = True,
+                              head_width: int = 3) -> None:
+        """Transition probabilities from one cell (reference :2192-2212)."""
+        plt = _plt()
+        colorandum = np.ones((self.embedding.shape[0], 4))
+        colorandum *= 0.3
+        colorandum[:, -1] = alpha
+        plt.scatter(self.embedding[:, 0], self.embedding[:, 1],
+                    c=colorandum, s=50, edgecolor="")
+        if mark_cell:
+            plt.scatter(self.embedding[cell_ix, 0], self.embedding[cell_ix, 1],
+                        facecolor="none", s=100, edgecolor="k")
+        if plot_arrow:
+            plt.arrow(self.embedding[cell_ix, 0], self.embedding[cell_ix, 1],
+                      self.delta_embedding[cell_ix, 0],
+                      self.delta_embedding[cell_ix, 1],
+                      head_width=head_width, length_includes_head=True)
+
+    def plot_velocity_as_color(self, gene_name: Optional[str] = None,
+                               cmap: Any = None, gs: Any = None,
+                               which_tsne: str = "ts", **kwargs: Any) -> None:
+        """Velocity as a diverging color map (reference :2214-2262)."""
+        plt = _plt()
+        if cmap is None:
+            cmap = plt.cm.RdBu_r
+        ix = np.where(self.ra["Gene"] == gene_name)[0][0]
+        kwarg_plot = {"alpha": 0.5, "s": 8, "edgecolor": "0.8", "lw": 0.15}
+        kwarg_plot.update(kwargs)
+        if gs is None:
+            plt.figure(figsize=(10, 10))
+            plt.subplot(111)
+        else:
+            plt.subplot(gs)
+        tsne = getattr(self, which_tsne)
+        if self.which_S_for_pred == "Sx_sz":
+            tmp_colorandum = self.Sx_sz_t[ix, :] - self.Sx_sz[ix, :]
+        else:
+            tmp_colorandum = self.Sx_t[ix, :] - self.Sx[ix, :]
+        if (np.abs(tmp_colorandum) > 0.00005).sum() < 10:
+            print("S vs U scatterplot it is flat")
+            return
+        limit = np.max(np.abs(np.percentile(tmp_colorandum, [1, 99])))
+        tmp_colorandum = tmp_colorandum + limit
+        tmp_colorandum = tmp_colorandum / (2 * limit)
+        tmp_colorandum = np.clip(tmp_colorandum, 0, 1)
+        scatter_viz(tsne[:, 0], tsne[:, 1], c=cmap(tmp_colorandum),
+                    **kwarg_plot)
+        plt.axis("off")
+        plt.title(f"{gene_name}")
+
+    def plot_expression_as_color(self, gene_name: Optional[str] = None,
+                                 imputed: bool = True, cmap: Any = None,
+                                 gs: Any = None, which_tsne: str = "ts",
+                                 **kwargs: Any) -> None:
+        """Expression as a sequential color map (reference :2264-2312)."""
+        plt = _plt()
+        if cmap is None:
+            cmap = plt.cm.Greens
+        ix = np.where(self.ra["Gene"] == gene_name)[0][0]
+        kwarg_plot = {"alpha": 0.5, "s": 8, "edgecolor": "0.8", "lw": 0.15}
+        kwarg_plot.update(kwargs)
+        if gs is None:
+            plt.figure(figsize=(10, 10))
+            plt.subplot(111)
+        else:
+            plt.subplot(gs)
+        tsne = getattr(self, which_tsne)
+        if imputed:
+            if self.which_S_for_pred == "Sx_sz":
+                tmp_colorandum = self.Sx_sz[ix, :]
+            else:
+                tmp_colorandum = self.Sx[ix, :]
+        else:
+            tmp_colorandum = self.S_sz[ix, :]
+        tmp_colorandum = tmp_colorandum / np.percentile(tmp_colorandum, 99)
+        tmp_colorandum = np.clip(tmp_colorandum, 0, 1)
+        scatter_viz(tsne[:, 0], tsne[:, 1], c=cmap(tmp_colorandum),
+                    **kwarg_plot)
+        plt.axis("off")
+        plt.title(f"{gene_name}")
+
+    def reload_raw(self, substitute: bool = False) -> None:
+        """Reload pristine matrices from the loom (reference :2314-2342)."""
+        ds = loomio.connect(self.loom_filepath)
+        if substitute:
+            self.S = ds.layer["spliced"][:, :]
+            self.U = ds.layer["unspliced"][:, :]
+            self.A = ds.layer["ambiguous"][:, :]
+            self.initial_cell_size = self.S.sum(0)
+            self.initial_Ucell_size = self.U.sum(0)
+            self.ca = dict(ds.col_attrs.items())
+            self.ra = dict(ds.row_attrs.items())
+        else:
+            self.raw_S = ds.layer["spliced"][:, :]
+            self.raw_U = ds.layer["unspliced"][:, :]
+            self.raw_A = ds.layer["ambiguous"][:, :]
+            self.raw_initial_cell_size = self.raw_S.sum(0)
+            self.raw_initial_Ucell_size = self.raw_U.sum(0)
+            self.raw_ca = dict(ds.col_attrs.items())
+            self.raw_ra = dict(ds.row_attrs.items())
+        ds.close()
+
+
+# ---------------------------------------------------------------------------
+# jitted embedding-shift kernel
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _embedding_shift_blocked(emb: jax.Array, P: jax.Array, K: jax.Array,
+                             K_rowsum: jax.Array, block: int = 128) -> jax.Array:
+    """delta_i = sum_j P_ij * unit(x_j - x_i) - sum_j K_ij unit(..) / sum_j K_ij
+
+    emb: (N, D); P/K: (N, N).  Blocked over i to avoid the reference's
+    dense (D, N, N) unitary-vector tensor (analysis.py:1704-1712).
+    """
+    n, d = emb.shape
+    n_pad = ((n + block - 1) // block) * block
+    emb_p = jnp.pad(emb, ((0, n_pad - n), (0, 0)))
+    P_p = jnp.pad(P, ((0, n_pad - n), (0, 0)))
+    K_p = jnp.pad(K, ((0, n_pad - n), (0, 0)))
+    Ks_p = jnp.pad(K_rowsum, ((0, n_pad - n),), constant_values=1.0)
+
+    def block_fn(i0):
+        xi = jax.lax.dynamic_slice(emb_p, (i0, 0), (block, d))
+        Pi = jax.lax.dynamic_slice(P_p, (i0, 0), (block, n))
+        Ki = jax.lax.dynamic_slice(K_p, (i0, 0), (block, n))
+        Ksi = jax.lax.dynamic_slice(Ks_p, (i0,), (block,))
+        diff = emb[None, :, :] - xi[:, None, :]          # (B, N, D)
+        nrm = jnp.linalg.norm(diff, axis=-1)
+        unit = jnp.where(nrm[..., None] > 0, diff / jnp.where(
+            nrm[..., None] == 0, 1.0, nrm[..., None]), 0.0)
+        de = jnp.einsum("bn,bnd->bd", Pi, unit)
+        de = de - jnp.einsum("bn,bnd->bd", Ki, unit) / Ksi[:, None]
+        return de
+
+    out = jax.lax.map(block_fn, jnp.arange(0, n_pad, block))
+    return out.reshape(n_pad, d)[:n]
+
+
+def knn_query(data: np.ndarray, query: np.ndarray, k: int):
+    """kNN of query points against data (used by the grid field)."""
+    from .ops.knn import _knn_query_impl
+    return _knn_query_impl(data, query, k)
+
+
+# ---------------------------------------------------------------------------
+# module-level helpers (reference :2345-2470)
+# ---------------------------------------------------------------------------
+
+def scatter_viz(x: np.ndarray, y: np.ndarray, *args: Any, **kwargs: Any) -> Any:
+    """Scatter ordered so every point stays visible (reference :2345-2376)."""
+    plt = _plt()
+    ix_x_sort = np.argsort(x, kind="mergesort")
+    ix_yx_sort = np.argsort(y[ix_x_sort], kind="mergesort")
+    args_new = []
+    kwargs_new = {}
+    for arg in args:
+        if type(arg) is np.ndarray:
+            args_new.append(arg[ix_x_sort][ix_yx_sort])
+        else:
+            args_new.append(arg)
+    for karg, varg in kwargs.items():
+        if type(varg) is np.ndarray:
+            kwargs_new[karg] = varg[ix_x_sort][ix_yx_sort]
+        else:
+            kwargs_new[karg] = varg
+    return plt.scatter(x[ix_x_sort][ix_yx_sort], y[ix_x_sort][ix_yx_sort],
+                       *args_new, **kwargs_new)
+
+
+def ixs_thatsort_a2b(a: np.ndarray, b: np.ndarray,
+                     check_content: bool = True) -> np.ndarray:
+    """Indexes that reorder array a to match array b (reference :2379-2383)."""
+    if check_content:
+        assert len(np.intersect1d(a, b)) == len(a), \
+            "The two arrays are not matching"
+    return np.argsort(a)[np.argsort(np.argsort(b))]
+
+
+def _colors20():
+    plt = _plt()
+    return np.vstack((plt.cm.tab20b(np.linspace(0., 1, 20))[::2],
+                      plt.cm.tab20c(np.linspace(0, 1, 20))[1::2]))
+
+
+def colormap_fun(x: np.ndarray) -> np.ndarray:
+    return _colors20()[np.mod(x, 20)]
+
+
+def scale_to_match_median(sparse_matrix: sparse.csr_matrix,
+                          genes_total: np.ndarray) -> sparse.csc_matrix:
+    """Scale neighbor-gene weights to match median totals
+    (reference :2392-2404, :2423-2446; numba loop -> vectorized numpy)."""
+    data, indices, indptr = (sparse_matrix.data, sparse_matrix.indices,
+                             sparse_matrix.indptr)
+    new_data = np.zeros(data.shape)
+    for i in range(genes_total.shape[0]):
+        nz = genes_total[indices[indptr[i]:indptr[i + 1]]]
+        if len(nz) == 0:
+            continue
+        w = np.minimum(1, np.median(nz) / nz)
+        new_data[indptr[i]:indptr[i + 1]] = w * data[indptr[i]:indptr[i + 1]]
+    return sparse.csc_matrix((new_data, indices, indptr),
+                             shape=sparse_matrix.shape, copy=True)
+
+
+def numba_random_seed(value: int) -> None:
+    """Seed the host RNG used by permute_rows_nsign (the reference seeds
+    numba's RNG, reference :2407-2410; we use numpy's)."""
+    np.random.seed(value)
+
+
+def permute_rows_nsign(A: np.ndarray) -> None:
+    """In-place row permutation with random sign flips (reference :2413-2420).
+
+    Note: the reference uses numba's RNG; the permutation sequence differs
+    from the reference for the same seed, but the statistical null is the
+    same (it feeds the randomized negative control only).
+    """
+    plmi = np.array([+1, -1])
+    for i in range(A.shape[0]):
+        np.random.shuffle(A[i, :])
+        A[i, :] = A[i, :] * np.random.choice(plmi, size=A.shape[1])
+
+
+def gaussian_kernel(X: np.ndarray, mu: float = 0, sigma: float = 1) -> np.ndarray:
+    """Gaussian kernel (reference :2449-2451)."""
+    return np.exp(-(X - mu) ** 2 / (2 * sigma ** 2)) / \
+        np.sqrt(2 * np.pi * sigma ** 2)
+
+
+def load_velocyto_hdf5(filename: str) -> "VelocytoLoom":
+    """Reload a VelocytoLoom snapshot (reference :2454-2470)."""
+    return load_hdf5(filename, obj_class=VelocytoLoom)

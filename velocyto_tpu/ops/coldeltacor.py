@@ -259,8 +259,8 @@ def col_delta_cor(emat, dmat, transform: str = "linear", psc: float = 0.0,
     (velocyto/estimation.py:11-141) via the ``transform`` argument.
     """
     tcode = _TRANSFORMS[transform]
-    emat = jnp.asarray(emat, dtype=jnp.float32)
-    dmat = jnp.asarray(dmat, dtype=jnp.float32)
+    emat = jnp.array(emat, dtype=jnp.float32)
+    dmat = jnp.array(dmat, dtype=jnp.float32)
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu" and
                       _pad_is_exact(tcode, psc))
@@ -268,17 +268,17 @@ def col_delta_cor(emat, dmat, transform: str = "linear", psc: float = 0.0,
         out = _col_delta_cor_dense_pallas(emat, dmat, tcode, psc)
     else:
         out = _col_delta_cor_dense_xla(emat, dmat, tcode, psc)
-    return np.asarray(out)
+    return np.array(out)
 
 
 def col_delta_cor_partial_compact(emat, dmat, ixs, transform: str = "linear",
                                   psc: float = 0.0) -> np.ndarray:
     """Sampled-neighborhood colDeltaCor returning the compact (N, nn) form."""
     tcode = _TRANSFORMS[transform]
-    e_rows = jnp.asarray(emat, dtype=jnp.float32).T
-    d_rows = jnp.asarray(dmat, dtype=jnp.float32).T
-    ixs = jnp.asarray(ixs, dtype=jnp.int32)
-    return np.asarray(
+    e_rows = jnp.array(emat, dtype=jnp.float32).T
+    d_rows = jnp.array(dmat, dtype=jnp.float32).T
+    ixs = jnp.array(ixs, dtype=jnp.int32)
+    return np.array(
         _partial_impl(e_rows, e_rows, d_rows, ixs, tcode, psc))
 
 
@@ -290,8 +290,8 @@ def col_delta_cor_partial(emat, dmat, ixs, transform: str = "linear",
     compact = col_delta_cor_partial_compact(emat, dmat, ixs, transform, psc)
     n = emat.shape[1]
     out = np.zeros((n, n), dtype=np.float64)
-    rows = np.repeat(np.arange(n), np.asarray(ixs).shape[1])
-    np.add.at(out, (rows, np.asarray(ixs).ravel()), compact.ravel())
+    rows = np.repeat(np.arange(n), np.array(ixs).shape[1])
+    np.add.at(out, (rows, np.array(ixs).ravel()), compact.ravel())
     return out
 
 
@@ -305,9 +305,9 @@ def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
     Returns the compact (N, nn) form.
     """
     tcode = _TRANSFORMS[transform]
-    e_rows = jnp.asarray(emat, dtype=jnp.float32).T
-    d_rows = jnp.asarray(dmat, dtype=jnp.float32).T
-    ixs = jnp.asarray(ixs, dtype=jnp.int32)
+    e_rows = jnp.array(emat, dtype=jnp.float32).T
+    d_rows = jnp.array(dmat, dtype=jnp.float32).T
+    ixs = jnp.array(ixs, dtype=jnp.int32)
     n = e_rows.shape[0]
     shards = mesh.shape[CELLS]
     n_pad = ((n + shards - 1) // shards) * shards
@@ -322,4 +322,4 @@ def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
         out_specs=P(CELLS, None),
     )
     out = fn(e_rows, e_pad, d_pad, ixs_pad)
-    return np.asarray(out[:n])
+    return np.array(out[:n])

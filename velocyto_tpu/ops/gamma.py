@@ -185,8 +185,8 @@ def _fit_slope_impl(Y, X):
 
 def fit_slope(Y: np.ndarray, X: np.ndarray) -> np.ndarray:
     """Y, X: (genes, cells). Returns per-gene slope, float32."""
-    out = _fit_slope_impl(jnp.asarray(Y, jnp.float32), jnp.asarray(X, jnp.float32))
-    return np.asarray(out, dtype=np.float32)
+    out = _fit_slope_impl(jnp.array(Y, jnp.float32), jnp.array(X, jnp.float32))
+    return np.array(out, dtype=np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("limit_gamma", "lo", "hi"))
@@ -200,12 +200,12 @@ def fit_slope_weighted(Y, X, W, return_R2: bool = False,
                        limit_gamma: bool = False,
                        bounds: Tuple[float, float] = (0, 20)):
     m, r2 = _fit_slope_weighted_impl(
-        jnp.asarray(Y, jnp.float32), jnp.asarray(X, jnp.float32),
-        jnp.asarray(W, jnp.float32), limit_gamma,
+        jnp.array(Y, jnp.float32), jnp.array(X, jnp.float32),
+        jnp.array(W, jnp.float32), limit_gamma,
         float(bounds[0]), float(bounds[1]))
-    m = np.asarray(m, dtype=np.float32)
+    m = np.array(m, dtype=np.float32)
     if return_R2:
-        return m, np.asarray(r2, dtype=np.float32)
+        return m, np.array(r2, dtype=np.float32)
     return m
 
 
@@ -221,12 +221,12 @@ def fit_slope_weighted_offset(Y, X, W, fixperc_q: bool = False,
                               return_R2: bool = True,
                               limit_gamma: bool = False):
     m, q, r2 = _fit_slope_weighted_offset_impl(
-        jnp.asarray(Y, jnp.float32), jnp.asarray(X, jnp.float32),
-        jnp.asarray(W, jnp.float32), fixperc_q, limit_gamma)
-    m = np.asarray(m, dtype=np.float32)
-    q = np.asarray(q, dtype=np.float32)
+        jnp.array(Y, jnp.float32), jnp.array(X, jnp.float32),
+        jnp.array(W, jnp.float32), fixperc_q, limit_gamma)
+    m = np.array(m, dtype=np.float32)
+    q = np.array(q, dtype=np.float32)
     if return_R2:
-        return m, q, np.asarray(r2, dtype=np.float32)
+        return m, q, np.array(r2, dtype=np.float32)
     return m, q
 
 
@@ -237,8 +237,8 @@ def _fit_slope_offset_impl(Y, X, fixperc_q):
 
 def fit_slope_offset(Y, X, fixperc_q: bool = False):
     m, q = _fit_slope_offset_impl(
-        jnp.asarray(Y, jnp.float32), jnp.asarray(X, jnp.float32), fixperc_q)
-    return np.asarray(m, dtype=np.float32), np.asarray(q, dtype=np.float32)
+        jnp.array(Y, jnp.float32), jnp.array(X, jnp.float32), fixperc_q)
+    return np.array(m, dtype=np.float32), np.array(q, dtype=np.float32)
 
 
 def clusters_stats(U: np.ndarray, S: np.ndarray, clusters_uid: np.ndarray,

@@ -100,6 +100,50 @@ def knn_search(data: np.ndarray, k: int, metric: str = "euclidean",
     return dist, idx
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _knn_query_jit(data: jax.Array, query: jax.Array, k: int,
+                   block: int = 512) -> Tuple[jax.Array, jax.Array]:
+    m, d = query.shape
+    sq_d = jnp.sum(data * data, axis=1)
+    m_pad = ((m + block - 1) // block) * block
+    q_p = jnp.pad(query, ((0, m_pad - m), (0, 0)))
+
+    def block_fn(r0):
+        rows = jax.lax.dynamic_slice(q_p, (r0, 0), (block, d))
+        d2 = jnp.sum(rows * rows, axis=1)[:, None] + sq_d[None, :] \
+            - 2.0 * rows @ data.T
+        d2 = jnp.maximum(d2, 0.0)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx
+
+    d2, idx = jax.lax.map(block_fn, jnp.arange(0, m_pad, block))
+    return (jnp.sqrt(d2.reshape(m_pad, k)[:m]),
+            idx.reshape(m_pad, k)[:m])
+
+
+def _knn_query_impl(data: np.ndarray, query: np.ndarray, k: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """kNN of `query` rows against `data` rows (euclidean), with the same
+    exact f64 re-scoring as knn_search."""
+    n = data.shape[0]
+    k2 = min(n, k + 8)
+    _d, idx = _knn_query_jit(jnp.asarray(data, dtype=jnp.float32),
+                             jnp.asarray(query, dtype=jnp.float32), k2,
+                             min(512, max(8, query.shape[0])))
+    idx = np.asarray(idx, dtype=np.int64)
+    x = np.asarray(data, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    diff = x[idx] - q[:, None, :]
+    d2 = np.einsum("nkd,nkd->nk", diff, diff)
+    by_idx = np.argsort(idx, axis=1, kind="stable")
+    idx = np.take_along_axis(idx, by_idx, axis=1)
+    d2 = np.take_along_axis(d2, by_idx, axis=1)
+    order = np.argsort(d2, axis=1, kind="stable")
+    idx = np.take_along_axis(idx, order, axis=1)[:, :k]
+    d2 = np.take_along_axis(d2, order, axis=1)[:, :k]
+    return np.sqrt(np.maximum(d2, 0.0)), idx
+
+
 # ---------------------------------------------------------------------------
 # Greedy balancing (host; reference-exact semantics)
 # ---------------------------------------------------------------------------

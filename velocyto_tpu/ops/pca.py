@@ -1,29 +1,31 @@
-"""PCA via XLA SVD, matching sklearn's sign convention.
+"""PCA matching sklearn's sign convention.
 
 Replaces reference perform_PCA (velocyto/analysis.py:678-702) which uses
-sklearn.decomposition.PCA.  We center features, run
-``jnp.linalg.svd`` and apply sklearn's ``svd_flip`` (u-based) so signs of
-the components agree with the reference to numerical tolerance.
+sklearn.decomposition.PCA: center features, SVD, then sklearn's
+``svd_flip`` (v-based, sklearn >= 1.5) so component signs agree with the
+reference to numerical tolerance.
+
+Runs on host LAPACK: PCA is a cold path (called once per analysis) and
+the XLA SVD pays a multi-minute remote compile on the axon TPU tunnel
+for zero steady-state benefit.
 """
 from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def _pca_impl(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def _pca_impl(x) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """x: (samples, features). Returns (pcs, components, explained_var)."""
-    mu = jnp.mean(x, axis=0, keepdims=True)
+    x = np.asarray(x, dtype=np.float64)
+    mu = np.mean(x, axis=0, keepdims=True)
     xc = x - mu
-    u, s, vt = jnp.linalg.svd(xc, full_matrices=False)
-    # svd_flip (v-based, sklearn >= 1.5 PCA convention): flip so that each
-    # row of Vt has a positive maximum-absolute entry
-    max_abs_cols = jnp.argmax(jnp.abs(vt), axis=1)
-    signs = jnp.sign(vt[jnp.arange(vt.shape[0]), max_abs_cols])
+    u, s, vt = np.linalg.svd(xc, full_matrices=False)
+    # svd_flip: flip so each row of Vt has a positive max-abs entry
+    max_abs_cols = np.argmax(np.abs(vt), axis=1)
+    signs = np.sign(vt[np.arange(vt.shape[0]), max_abs_cols])
+    signs[signs == 0] = 1.0
     u = u * signs[None, :]
     vt = vt * signs[:, None]
     pcs = u * s[None, :]
@@ -38,17 +40,13 @@ class PCA:
         self.n_components = n_components
 
     def fit_transform(self, X: np.ndarray) -> np.ndarray:
-        X = jnp.asarray(X, dtype=jnp.float32)
+        X = np.asarray(X, dtype=np.float64)
         pcs, comps, expl = _pca_impl(X)
-        pcs = np.asarray(pcs, dtype=np.float64)
-        comps = np.asarray(comps, dtype=np.float64)
-        expl = np.asarray(expl, dtype=np.float64)
         k = self.n_components or min(X.shape)
         self.components_ = comps[:k]
         self.explained_variance_ = expl[:k]
-        total_var = expl.sum()
-        self.explained_variance_ratio_ = expl[:k] / total_var
-        self.mean_ = np.asarray(jnp.mean(X, axis=0))
+        self.explained_variance_ratio_ = expl[:k] / expl.sum()
+        self.mean_ = X.mean(axis=0)
         return pcs[:, :k]
 
     def fit(self, X: np.ndarray) -> "PCA":

@@ -24,7 +24,7 @@ def connectivity_to_weights(mknn: sparse.spmatrix, axis: int = 1) -> sparse.spma
     (reference: velocyto/neighbors.py:385-390)."""
     if not sparse.issparse(mknn) or mknn.format != "csr":
         mknn = sparse.csr_matrix(mknn)
-    return mknn.multiply(1.0 / np.asarray(mknn.sum(axis=axis)))
+    return mknn.multiply(1.0 / np.array(mknn.sum(axis=axis)))
 
 
 def csr_to_compact(w: sparse.spmatrix) -> Tuple[np.ndarray, np.ndarray]:
@@ -73,20 +73,20 @@ def convolve_by_sparse_weights(data: np.ndarray, w: sparse.spmatrix) -> np.ndarr
     row-stochastic).
     """
     w_ = w.T
-    colsums = np.asarray(w_.sum(0)).ravel()
+    colsums = np.array(w_.sum(0)).ravel()
     assert np.allclose(colsums, 1), \
         "weight matrix need to sum to one over the columns"
     idx, wgt = csr_to_compact(sparse.csr_matrix(w))
     out_rows = _convolve_compact_impl(
-        jnp.asarray(np.ascontiguousarray(data.T), dtype=jnp.float32),
-        jnp.asarray(idx), jnp.asarray(wgt))
-    return np.asarray(out_rows, dtype=np.float64).T
+        jnp.array(np.ascontiguousarray(data.T), dtype=jnp.float32),
+        jnp.array(idx), jnp.array(wgt))
+    return np.array(out_rows, dtype=np.float64).T
 
 
 def convolve_compact(data_rows: np.ndarray, nbr_idx: np.ndarray,
                      nbr_w: np.ndarray) -> np.ndarray:
     """Direct compact-form smoothing (cells-as-rows)."""
-    return np.asarray(_convolve_compact_impl(
-        jnp.asarray(data_rows, dtype=jnp.float32),
-        jnp.asarray(nbr_idx, dtype=jnp.int32),
-        jnp.asarray(nbr_w, dtype=jnp.float32)))
+    return np.array(_convolve_compact_impl(
+        jnp.array(data_rows, dtype=jnp.float32),
+        jnp.array(nbr_idx, dtype=jnp.int32),
+        jnp.array(nbr_w, dtype=jnp.float32)))

@@ -33,7 +33,10 @@ def dump_hdf5(obj: object, filename: str,
     with h5py.File(filename, "w") as f:
         for k in obj.__dict__.keys():
             attribute = getattr(obj, k)
-            if type(attribute) is not np.ndarray:
+            # unicode/object ndarrays have no native hdf5 mapping: they go
+            # through the pickled '&' path like non-array attributes
+            if type(attribute) is not np.ndarray or \
+                    attribute.dtype.kind in ("U", "O"):
                 serialized = _obj2uint(attribute,
                                        compression=noarray_compression,
                                        protocol=pickle_protocol)
