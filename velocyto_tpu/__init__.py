@@ -52,3 +52,9 @@ from .analysis import (VelocytoLoom, load_velocyto_hdf5, scatter_viz,
                        scale_to_match_median, permute_rows_nsign,
                        numba_random_seed)
 from . import io
+
+from .counting import (Logic, Permissive10X, Intermediate10X,
+                       ValidatedIntrons10X, Stricter10X, ObservedSpanning10X,
+                       Discordant10X, SmartSeq2, Default, LOGICS,
+                       Feature, TranscriptModel, GeneInfo, Read,
+                       Molitem, SegmentMatch, ExInCounter)
