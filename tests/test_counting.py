@@ -347,3 +347,72 @@ def test_count_matches_oracle_fuzz(tmp_path, logic_name, seed):
     for layer in logic.layers:
         np.testing.assert_array_equal(got[layer][:, perm], expected[layer],
                                       err_msg=f"layer {layer} seed {seed}")
+
+
+# ---------------------------------------------------------------------------
+# dump reports + 3' utils
+# ---------------------------------------------------------------------------
+
+def test_dump_report(small_gtf, tmp_path):
+    import h5py
+    counter = ExInCounter("dumpsample", vt.Permissive10X, dump_option="1",
+                          outputfolder=str(tmp_path))
+    counter.read_transcriptmodels(small_gtf)
+    reads = _hand_reads()
+    counter.reads_to_count = list(reads)
+    counter.cell_batch = {r.bc for r in reads}
+    counter.count_cell_batch()
+    path = tmp_path / "dump" / "dumpsample.hdf5"
+    assert path.exists()
+    with h5py.File(path, "r") as f:
+        assert "info/tr_id" in f
+        n = f["info/tr_id"].shape[0]
+        assert f["info/start_end"].shape == (n, 2)
+        cells = list(f.get("cells", {}))
+        assert len(cells) >= 1
+        c0 = cells[0]
+        assert f[f"cells/{c0}/pos"].shape[1] == 2
+        assert (f[f"cells/{c0}/ixs"][:] < n).all()
+
+
+def test_closest_3prime(small_gtf):
+    from velocyto_tpu.counting.threeprime import closest_3prime
+    from velocyto_tpu.counting.molecules import SegmentMatch
+    counter = ExInCounter("s", vt.Permissive10X)
+    ann = counter.read_transcriptmodels(small_gtf)
+    a1 = ann["1+"]["A1"]
+    e1, i1, e2, i2, e3 = a1.list_features
+    # from position 1100 in exon1: 101 bases of e1 + e2 (201) + e3 (201)
+    d = closest_3prime(SegmentMatch((1100, 1150), e1))
+    assert d == (1200 - 1100 + 1) + 201 + 201
+    # from the middle of intron1: rest of intron + downstream e2 + e3
+    d = closest_3prime(SegmentMatch((1500, 1550), i1))
+    assert d == (1999 - 1500 + 1) + 201 + 201
+    b1 = ann["1-"]["B1"]
+    eb2, ib1, eb1 = b1.list_features
+    # minus strand: from 5100 in eb2 (the 3'-most exon on minus is eb2?
+    # exon numbering: eb1 is exon 1 (rightmost); walking 3' goes left)
+    d = closest_3prime(SegmentMatch((5050, 5100), eb2))
+    assert d == (5100 - 5000 + 1)
+
+
+def test_objectmode_matches_array_mode(small_gtf):
+    """The packaged object-mode engine agrees with the array engine."""
+    from velocyto_tpu.counting.objectmode import build_molitems, count_molitems
+    counter = ExInCounter("s", vt.Permissive10X)
+    counter.read_transcriptmodels(small_gtf)
+    reads = _hand_reads()
+    bcs = sorted({r.bc for r in reads})
+    bc2idx = {b: i for i, b in enumerate(bcs)}
+    shape = (len(counter.geneid2ix), len(bcs))
+    molitems = build_molitems(reads, counter.annotations_by_chrm_strand,
+                              counter.mask_ivls_by_chromstrand,
+                              vt.Permissive10X)
+    exp = count_molitems(molitems, vt.Permissive10X, counter.geneid2ix,
+                         bc2idx, shape)
+    counter.reads_to_count = list(reads)
+    counter.cell_batch = set(bcs)
+    got, got_bcs = counter.count_cell_batch()
+    perm = [got_bcs.index(b) for b in bcs]
+    for layer in vt.Permissive10X.layers:
+        np.testing.assert_array_equal(got[layer][:, perm], exp[layer])

@@ -6,6 +6,9 @@ from .logics import (Logic, Permissive10X, Intermediate10X,
 from .molecules import Molitem, SegmentMatch
 from .counter import ExInCounter
 from . import bamio
+from . import objectmode
+from . import threeprime
+from .threeprime import closest_3prime, jump_next_3p_exon, spliced_iter
 
 __all__ = ["Feature", "TranscriptModel", "GeneInfo", "Read",
            "parse_cigar_tuple", "normalize_chrom", "Logic", "Permissive10X",

@@ -86,9 +86,8 @@ class ExInCounter:
                              "Use `no`, `chr`, `Gene` or `[N]bp`")
         self.onefilepercell = onefilepercell
         self.dump_option = dump_option
-        if str(dump_option) not in ("0", ""):
-            logging.warning("--dump molecular reports are not implemented "
-                            "yet in velocyto_tpu; ignoring")
+        from .dump import DumpWriter
+        self.dump_writer = DumpWriter(dump_option, sampleid, outputfolder)
         self.cellbarcode_str = "NULL_BC"
         self.umibarcode_str = "NULL_UB"
 
@@ -420,6 +419,16 @@ class ExInCounter:
         if n_mol and failures > 0.25 * n_mol:
             logging.warning(f"More than 25% of molitems trashed "
                             f"({100 * failures / n_mol:.1f}%)")
+
+        if self.dump_writer.active:
+            # dumps need the per-molecule object graph: re-run this batch
+            # through the object-mode engine (debug feature, speed is moot)
+            from .objectmode import build_molitems
+            molitems = build_molitems(reads, self.annotations_by_chrm_strand,
+                                      self.mask_ivls_by_chromstrand,
+                                      self.logic)
+            self.dump_writer.maybe_dump(molitems, reads,
+                                        self.annotations_by_chrm_strand)
         return dict_layers_columns, bc_list
 
     def _mask_filter(self, idxs, reads, cs, rev_cs, stranded, discordant):
