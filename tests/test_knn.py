@@ -120,3 +120,16 @@ def test_convolve_by_sparse_weights(rng):
     expected = sparse.csr_matrix.dot(data, w.T.tocsr())
     got = convolve_by_sparse_weights(data, w.tocsr())
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_knn_smooth_weights(rng):
+    from velocyto_tpu.ops import knn_smooth_weights
+    g, n = 15, 60
+    matrix = rng.rand(g, n)
+    w, knn = knn_smooth_weights(matrix, k_search=12, k_mutual=6)
+    assert knn.shape == (n, n)
+    assert w.shape == (n, n)
+    # rows sum to one (row-normalized connectivity incl. self)
+    np.testing.assert_allclose(np.asarray(w.sum(axis=1)).ravel(), 1.0)
+    # no row keeps more than k_mutual + 1 (self) entries
+    assert (np.diff(w.tocsr().indptr) <= 7).all()

@@ -34,6 +34,7 @@ from .ops import (col_delta_cor, col_delta_cor_partial,
                   col_delta_cor_partial_compact, col_delta_cor_partial_sharded,
                   knn_search, knn_balance, balance_knn_loop, BalancedKNN,
                   knn_distance_matrix, make_mutual, take_top, min_n,
+                  knn_smooth_weights,
                   connectivity_to_weights, convolve_by_sparse_weights,
                   fit_slope, fit_slope_offset, fit_slope_weighted,
                   fit_slope_weighted_offset, clusters_stats, PCA)

@@ -350,3 +350,22 @@ def take_top(matrix: sparse.spmatrix, n: int) -> sparse.lil_matrix:
         arr_ll.data[i] = d.tolist()
         arr_ll.rows[i] = r.tolist()
     return arr_ll
+
+
+def knn_smooth_weights(matrix: np.ndarray, metric: str = "euclidean",
+                       k_search: int = 20, k_mutual: int = 10,
+                       n_jobs: int = 10
+                       ) -> Tuple[sparse.spmatrix, sparse.csr_matrix]:
+    """Mutual-kNN smoothing weights for a (genes, cells) expression matrix
+    (reference velocyto/neighbors.py:426-451): kNN search (TPU) ->
+    mutualize -> keep k_mutual smallest per row -> row-normalize."""
+    assert k_search >= k_mutual, "k_search needs to be bigger than k_mutual"
+    from .smoothing import connectivity_to_weights
+    knn = knn_distance_matrix(matrix.T, metric=metric, k=k_search,
+                              mode="distance", n_jobs=n_jobs)
+    mknn = make_mutual(knn)
+    top_mknn = take_top(mknn, k_mutual)
+    top_mknn.setdiag(1)
+    connectivity = top_mknn > 0
+    w = connectivity_to_weights(connectivity)
+    return w, knn
