@@ -55,7 +55,8 @@ def bgzf_compress_block(payload: bytes, level: int = 6) -> bytes:
     """One BGZF block (payload must be <= 65255 bytes)."""
     c = zlib.compressobj(level, zlib.DEFLATED, -15)
     comp = c.compress(payload) + c.flush()
-    bsize = len(comp) + 25 + 1  # header(18) + comp + crc(4) + isize(4) - 1
+    # BSIZE = total block size - 1 (SAM spec 4.1): 18 header + comp + 8 - 1
+    bsize = len(comp) + 25
     header = (b"\x1f\x8b\x08\x04" + b"\x00" * 6 +
               struct.pack("<HBBHH", 6, ord("B"), ord("C"), 2, bsize))
     crc = zlib.crc32(payload) & 0xFFFFFFFF

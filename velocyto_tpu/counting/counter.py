@@ -251,8 +251,45 @@ class ExInCounter:
     # pass 1: intron validation markup (reference counter.py:622-699)
     # ------------------------------------------------------------------
 
+    def _fastpath_ok(self) -> bool:
+        """The SoA engine covers every mode except --dump reports (which
+        need the per-molecule object graph) and the Gene/Nbp umi
+        extensions (which need aux tags / read sequence the batched
+        decoder does not export yet)."""
+        return (not self.dump_writer.active and
+                self.umi_extension in ("no", "chr", "without_umi"))
+
+    def _soa_engine(self):
+        if getattr(self, "_soa", None) is None:
+            from .soa_engine import SoaEngine
+            self._soa = SoaEngine(self)
+        return self._soa
+
+    def _append_batch_result(self, dict_layer_columns, list_bcs,
+                             dict_list_arrays, cell_bcs_order) -> None:
+        """Accumulate one cell batch's count columns, applying the
+        <=80-molecule cell filter in discovery mode
+        (reference counter.py:764-781)."""
+        if not len(list_bcs):
+            return
+        if not self.filter_mode:
+            tot_mol = dict_layer_columns["spliced"].sum(0) + \
+                dict_layer_columns["unspliced"].sum(0)
+            keep = tot_mol > 80
+            cell_bcs_order += list(np.array(list_bcs)[keep])
+            for layer_name, cols in dict_layer_columns.items():
+                dict_list_arrays[layer_name].append(cols[:, keep])
+        else:
+            cell_bcs_order += list_bcs
+            for layer_name, cols in dict_layer_columns.items():
+                dict_list_arrays[layer_name].append(cols)
+
     def mark_up_introns(self, bamfile: Iterable[str], multimap: bool) -> None:
         if not self.logic.perform_validation_markup:
+            return
+        if self._fastpath_ok():
+            self._soa_engine().mark_up_introns(bamfile, multimap)
+            self._log_markup_summary()
             return
         buffers: Dict[str, List[Tuple[int, int]]] = defaultdict(list)
         currchrom = ""
@@ -288,6 +325,9 @@ class ExInCounter:
             if len(buf) >= 200_000:
                 flush(cs)
         flush()
+        self._log_markup_summary()
+
+    def _log_markup_summary(self) -> None:
         n_introns = sum(int((fa.kind == ord("i")).sum())
                         for fa in self.feature_indexes.values())
         n_valid = sum(int(fa.is_validated.sum())
@@ -301,6 +341,9 @@ class ExInCounter:
     def count(self, bamfile: Iterable[str], multimap: bool,
               cell_batch_size: int = 100, molecules_report: bool = False
               ) -> Tuple[Dict[str, List[np.ndarray]], List[str]]:
+        if self._fastpath_ok():
+            return self._soa_engine().count(bamfile, multimap,
+                                            cell_batch_size)
         self.cell_batch: Set[str] = set()
         self.reads_to_count: List[Read] = []
         cell_bcs_order: List[str] = []
@@ -316,17 +359,8 @@ class ExInCounter:
                                   f"{len(self.cell_batch)} cells, "
                                   f"{len(self.reads_to_count)} reads")
                 dict_layer_columns, list_bcs = self.count_cell_batch()
-                if not self.filter_mode and len(list_bcs):
-                    tot_mol = dict_layer_columns["spliced"].sum(0) + \
-                        dict_layer_columns["unspliced"].sum(0)
-                    keep = tot_mol > 80
-                    cell_bcs_order += list(np.array(list_bcs)[keep])
-                    for layer_name, cols in dict_layer_columns.items():
-                        dict_list_arrays[layer_name].append(cols[:, keep])
-                elif len(list_bcs):
-                    cell_bcs_order += list_bcs
-                    for layer_name, cols in dict_layer_columns.items():
-                        dict_list_arrays[layer_name].append(cols)
+                self._append_batch_result(dict_layer_columns, list_bcs,
+                                          dict_list_arrays, cell_bcs_order)
                 self.cell_batch = set()
                 self.reads_to_count = []
             if r is not None:

@@ -1,0 +1,219 @@
+"""Batched structure-of-arrays BAM decoding (the counting fast path).
+
+The reference decodes one pysam AlignedSegment at a time and builds a
+Python object per read (velocyto/counter.py:217-306).  Here the native
+C++ decoder (velocyto_tpu/native/vtpu.cpp: vtpu_bam_read_batch) inflates
+BGZF blocks and decodes alignment records straight into preallocated
+numpy arrays -- including the CIGAR->segments parse with small-indel
+patching (reference counter.py:85-129 semantics) -- so the counting
+pipeline never touches per-read Python objects.
+
+A pure-Python producer (`_python_soa_batches`) builds byte-identical
+batches from bamio.BamReader; it is the fallback when libvtpu is absent
+and the differential-test oracle for the native decoder.
+"""
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from .. import native
+from . import bamio
+from .reads import parse_cigar_tuple
+
+MAX_SEGS = 16         # segments per read (reads with more are dropped+logged)
+BC_BYTES = 32         # bc/umi tag buffers (fixed-width S32)
+
+
+@dataclass
+class ReadBatch:
+    """One decoded batch, structure-of-arrays.  `ok[i] == 0` marks records
+    that must be skipped (unmapped / NH!=1 / CIGAR overflow) but still
+    occupy a slot so the arrays stay aligned with the BAM stream."""
+    chrom_id: np.ndarray   # (n,) int32 - index into `refs`
+    strand: np.ndarray     # (n,) uint8 - 0 = '+', 1 = '-'
+    pos: np.ndarray        # (n,) int64 - 1-based leftmost
+    n_segs: np.ndarray     # (n,) int32
+    seg_start: np.ndarray  # (n, MAX_SEGS) int64
+    seg_end: np.ndarray    # (n, MAX_SEGS) int64
+    clip5: np.ndarray      # (n,) int32
+    clip3: np.ndarray      # (n,) int32
+    ref_skip: np.ndarray   # (n,) uint8 - 1 if the CIGAR had an N op
+    ok: np.ndarray         # (n,) uint8
+    bc: np.ndarray         # (n,) S{BC_BYTES} raw barcode tag ("" if absent)
+    umi: np.ndarray        # (n,) S{BC_BYTES} raw umi tag ("" if absent)
+
+    def __len__(self) -> int:
+        return len(self.pos)
+
+    @property
+    def seg_mask(self) -> np.ndarray:
+        """(n, MAX_SEGS) bool: valid segment slots."""
+        return np.arange(self.seg_start.shape[1])[None, :] < \
+            self.n_segs[:, None]
+
+    @staticmethod
+    def concatenate(parts: List["ReadBatch"]) -> "ReadBatch":
+        return ReadBatch(*(np.concatenate([getattr(p, f) for p in parts])
+                           for f in ("chrom_id", "strand", "pos", "n_segs",
+                                     "seg_start", "seg_end", "clip5", "clip3",
+                                     "ref_skip", "ok", "bc", "umi")))
+
+    def slice(self, lo: int, hi: int) -> "ReadBatch":
+        return ReadBatch(self.chrom_id[lo:hi], self.strand[lo:hi],
+                         self.pos[lo:hi], self.n_segs[lo:hi],
+                         self.seg_start[lo:hi], self.seg_end[lo:hi],
+                         self.clip5[lo:hi], self.clip3[lo:hi],
+                         self.ref_skip[lo:hi], self.ok[lo:hi],
+                         self.bc[lo:hi], self.umi[lo:hi])
+
+    def take(self, idx: np.ndarray) -> "ReadBatch":
+        """Gather rows by index array or boolean mask."""
+        return ReadBatch(self.chrom_id[idx], self.strand[idx],
+                         self.pos[idx], self.n_segs[idx],
+                         self.seg_start[idx], self.seg_end[idx],
+                         self.clip5[idx], self.clip3[idx],
+                         self.ref_skip[idx], self.ok[idx],
+                         self.bc[idx], self.umi[idx])
+
+
+class NativeBamReader:
+    """Streaming SoA reader over libvtpu's BGZF/BAM decoder."""
+
+    def __init__(self, path: str, bc_tag: str, umi_tag: str,
+                 require_unique: bool) -> None:
+        lib = native._load()
+        if lib is None:
+            raise RuntimeError("libvtpu not available")
+        self._lib = lib
+        self._h = lib.vtpu_bam_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open BAM file {path}")
+        n = lib.vtpu_bam_n_refs(self._h)
+        self.references = [lib.vtpu_bam_ref_name(self._h, i).decode()
+                           for i in range(n)]
+        self._bc_tag = bc_tag.encode()[:2]
+        self._umi_tag = umi_tag.encode()[:2]
+        self._unique = int(require_unique)
+
+    def read_batch(self, max_reads: int = 1 << 18) -> Optional[ReadBatch]:
+        n = max_reads
+        b = ReadBatch(
+            chrom_id=np.empty(n, np.int32), strand=np.empty(n, np.uint8),
+            pos=np.empty(n, np.int64), n_segs=np.empty(n, np.int32),
+            seg_start=np.empty((n, MAX_SEGS), np.int64),
+            seg_end=np.empty((n, MAX_SEGS), np.int64),
+            clip5=np.empty(n, np.int32), clip3=np.empty(n, np.int32),
+            ref_skip=np.empty(n, np.uint8), ok=np.empty(n, np.uint8),
+            bc=np.empty(n, f"S{BC_BYTES}"), umi=np.empty(n, f"S{BC_BYTES}"))
+        from ctypes import POINTER, c_int32, c_int64, c_uint8, c_char_p
+
+        def p(arr, ct):
+            return arr.ctypes.data_as(POINTER(ct))
+
+        got = self._lib.vtpu_bam_read_batch(
+            self._h, n, MAX_SEGS, self._bc_tag, self._umi_tag,
+            p(b.chrom_id, c_int32), p(b.strand, c_uint8), p(b.pos, c_int64),
+            p(b.n_segs, c_int32), p(b.seg_start, c_int64),
+            p(b.seg_end, c_int64), p(b.clip5, c_int32), p(b.clip3, c_int32),
+            p(b.ref_skip, c_uint8), p(b.ok, c_uint8),
+            ctypes.cast(b.bc.ctypes.data, c_char_p),
+            ctypes.cast(b.umi.ctypes.data, c_char_p), self._unique)
+        if got < 0:
+            raise IOError("corrupt BAM stream (native decoder)")
+        if got == 0:
+            return None
+        return b.slice(0, int(got))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.vtpu_bam_close(self._h)
+            self._h = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PythonBamReader:
+    """Pure-python SoA producer with semantics identical to
+    NativeBamReader (fallback + differential-test oracle)."""
+
+    def __init__(self, path: str, bc_tag: str, umi_tag: str,
+                 require_unique: bool) -> None:
+        self._reader = bamio.BamReader(path)
+        self.references = list(self._reader.references)
+        self._it = iter(self._reader)
+        self._bc_tag = bc_tag
+        self._umi_tag = umi_tag
+        self._unique = require_unique
+
+    def read_batch(self, max_reads: int = 1 << 18) -> Optional[ReadBatch]:
+        n = max_reads
+        b = ReadBatch(
+            chrom_id=np.zeros(n, np.int32), strand=np.zeros(n, np.uint8),
+            pos=np.zeros(n, np.int64), n_segs=np.zeros(n, np.int32),
+            seg_start=np.zeros((n, MAX_SEGS), np.int64),
+            seg_end=np.zeros((n, MAX_SEGS), np.int64),
+            clip5=np.zeros(n, np.int32), clip3=np.zeros(n, np.int32),
+            ref_skip=np.zeros(n, np.uint8), ok=np.zeros(n, np.uint8),
+            bc=np.zeros(n, f"S{BC_BYTES}"), umi=np.zeros(n, f"S{BC_BYTES}"))
+        i = 0
+        for rec in self._it:
+            b.chrom_id[i] = rec.ref_id
+            b.strand[i] = 1 if rec.is_reverse else 0
+            b.pos[i] = rec.pos + 1
+            if not rec.is_unmapped and \
+                    not (self._unique and rec.tags.get("NH", 1) != 1):
+                segments, ref_skip, clip5, clip3 = parse_cigar_tuple(
+                    rec.cigar, rec.pos + 1)
+                if len(segments) <= MAX_SEGS:
+                    b.n_segs[i] = len(segments)
+                    for s, seg in enumerate(segments):
+                        b.seg_start[i, s] = seg[0]
+                        b.seg_end[i, s] = seg[1]
+                    b.clip5[i] = clip5
+                    b.clip3[i] = clip3
+                    b.ref_skip[i] = 1 if ref_skip else 0
+                    b.bc[i] = rec.tags.get(self._bc_tag, "").encode() \
+                        if isinstance(rec.tags.get(self._bc_tag, ""), str) \
+                        else b""
+                    b.umi[i] = rec.tags.get(self._umi_tag, "").encode() \
+                        if isinstance(rec.tags.get(self._umi_tag, ""), str) \
+                        else b""
+                    b.ok[i] = 1
+            i += 1
+            if i >= n:
+                break
+        if i == 0:
+            return None
+        return b.slice(0, i)
+
+    def close(self) -> None:
+        pass
+
+
+def open_soa_reader(path: str, bc_tag: str, umi_tag: str,
+                    require_unique: bool):
+    """Native SoA reader when libvtpu is available, else the Python one."""
+    if native.available():
+        return NativeBamReader(path, bc_tag, umi_tag, require_unique)
+    return PythonBamReader(path, bc_tag, umi_tag, require_unique)
+
+
+def soa_batches(path: str, bc_tag: str, umi_tag: str, require_unique: bool,
+                batch_size: int = 1 << 18) -> Iterator[ReadBatch]:
+    r = open_soa_reader(path, bc_tag, umi_tag, require_unique)
+    try:
+        while True:
+            b = r.read_batch(batch_size)
+            if b is None:
+                return
+            yield b
+    finally:
+        r.close()

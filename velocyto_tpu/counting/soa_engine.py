@@ -1,0 +1,454 @@
+"""Structure-of-arrays counting passes (the production fast path).
+
+Consumes `fastio.ReadBatch` batches straight from the native decoder and
+runs both BAM passes of the counting pipeline without creating a single
+per-read Python object:
+
+  pass 1 (markup): intron validation over batched segment arrays
+      (reference velocyto/counter.py:622-699);
+  pass 2 (count):  cell-batched molecule counting (reference
+      counter.py:701-1254) with vectorized repeat-mask filtering, window
+      matching (features.FeatureArrays), molecule-key construction and
+      the grouped classification tail (molecules.assemble_and_classify).
+
+Semantics are validated against the object-mode engine (objectmode.py)
+by differential tests; molecule keys use tuples instead of the
+reference's formatted strings (counter.py:193-209) - equality-equivalent
+by construction:
+    "no"          (bc, umi)
+    "chr"         (bc, umi, ref_id, rec.pos // 1e7)
+    without_umi   (bc, running read index)  [reference: random placeholder
+                  UMI per read -> every read its own molecule]
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import MATCH_INSIDE, MAX_READ_SPAN
+from .fastio import ReadBatch, open_soa_reader
+from .molecules import (RecordArrays, build_read_records,
+                        F_INTRON, F_EXON, F_VALID, F_SPAN_GATED,
+                        F_SPAN_UNGATED)
+from .reads import normalize_chrom
+
+
+def _last_end(rb: ReadBatch) -> np.ndarray:
+    """Per-read end coordinate (end of the last segment)."""
+    n = len(rb)
+    last = np.maximum(rb.n_segs - 1, 0)
+    return rb.seg_end[np.arange(n), last]
+
+
+def _base_keep(rb: ReadBatch) -> np.ndarray:
+    """Decode-valid reads with >=1 segment within the span limit."""
+    keep = rb.ok.astype(bool) & (rb.n_segs > 0)
+    span = _last_end(rb) - rb.seg_start[:, 0] + 1
+    too_long = keep & (span > MAX_READ_SPAN)
+    n_long = int(too_long.sum())
+    if n_long:
+        logging.warning(f"Trashing {n_long} reads, too long span")
+    return keep & ~too_long
+
+
+class SoaEngine:
+    """Stateful driver for the two SoA passes, bound to an ExInCounter."""
+
+    def __init__(self, counter) -> None:
+        self.c = counter
+        # global chromosome-name table (batches may span files whose
+        # BAM headers enumerate references differently)
+        self._chrom_names: List[str] = []
+        self._chrom_ids: Dict[str, int] = {}
+        self.skipped_no_barcode = 0
+        # cache of per-unique-barcode keep/strip decisions
+        self._bc_cache: Dict[bytes, Optional[str]] = {}
+
+    # -- shared helpers -------------------------------------------------
+
+    def _global_chrom_map(self, references: List[str]) -> np.ndarray:
+        out = np.empty(len(references), dtype=np.int64)
+        for i, name in enumerate(references):
+            norm = normalize_chrom(name)
+            gid = self._chrom_ids.get(norm)
+            if gid is None:
+                gid = len(self._chrom_names)
+                self._chrom_ids[norm] = gid
+                self._chrom_names.append(norm)
+            out[i] = gid
+        return out
+
+    def _strip_bcs(self, rb: ReadBatch) -> Tuple[np.ndarray, np.ndarray]:
+        """(keep mask, stripped-barcode name per read (object array)).
+
+        Reproduces iter_alignments barcode handling (reference
+        counter.py:255-270): no tag -> skip (counted); strip the gem-group
+        suffix; filter-mode membership / discovery-mode accretion.
+        """
+        c = self.c
+        self.skipped_no_barcode += int((rb.bc == b"").sum())
+        uniq, inv = np.unique(rb.bc, return_inverse=True)
+        keep_u = np.empty(len(uniq), dtype=bool)
+        name_u = np.empty(len(uniq), dtype=object)
+        for i, b in enumerate(uniq):
+            if b in self._bc_cache:
+                cached = self._bc_cache[b]
+                keep_u[i] = cached is not None
+                name_u[i] = cached
+                continue
+            if not b:
+                keep_u[i] = False
+                name_u[i] = None
+                self._bc_cache[b] = None
+                continue
+            s = b.decode().split("-")[0]
+            if s in c.valid_bcset:
+                ok = True
+            elif c.filter_mode:
+                ok = False
+            else:
+                c.valid_bcset.add(s)
+                ok = True
+            keep_u[i] = ok
+            name_u[i] = s if ok else None
+            self._bc_cache[b] = s if ok else None
+        return keep_u[inv], name_u[inv]
+
+    def _check_chrom_sorted(self, cids: np.ndarray, seen: set,
+                            cur: List[int]) -> None:
+        """Position-sorted inputs visit each chromosome once
+        (reference counter.py:674-676)."""
+        if len(cids) == 0:
+            return
+        change = np.ones(len(cids), dtype=bool)
+        change[1:] = cids[1:] != cids[:-1]
+        for cid in cids[change]:
+            if cid != cur[0]:
+                if cid in seen:
+                    raise IOError("Input .bam file should be sorted. "
+                                  "(Hint: samtools sort)")
+                seen.add(int(cid))
+                cur[0] = int(cid)
+
+    def _flat_segments(self, rb: ReadBatch, read_idx: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Flatten the ragged segment table of the selected reads.
+        Returns (seg_start, seg_end, seg_read(global row id), counts),
+        grouped contiguously per read in read_idx order."""
+        ns = rb.n_segs[read_idx]
+        m = np.arange(rb.seg_start.shape[1])[None, :] < ns[:, None]
+        starts = rb.seg_start[read_idx][m]
+        ends = rb.seg_end[read_idx][m]
+        seg_read = np.repeat(read_idx, ns)
+        return starts, ends, seg_read, ns
+
+    # -- pass 1: markup -------------------------------------------------
+
+    def mark_up_introns(self, bamfiles: Iterable[str], multimap: bool) -> None:
+        c = self.c
+        for bamfile in bamfiles:
+            reader = open_soa_reader(str(bamfile), c.cellbarcode_str,
+                                     c.umibarcode_str, not multimap)
+            gmap = self._global_chrom_map(reader.references)
+            seen: set = set()
+            cur = [-1]
+            while True:
+                rb = reader.read_batch()
+                if rb is None:
+                    break
+                keep = _base_keep(rb)
+                if not c.onefilepercell:
+                    bc_keep, _names = self._strip_bcs(rb)
+                    keep &= bc_keep
+                if c.umi_extension != "without_umi":
+                    keep &= rb.umi != b""
+                self._check_chrom_sorted(rb.chrom_id[keep], seen, cur)
+                keep &= rb.ref_skip == 0     # spliced reads don't validate
+                key = gmap[rb.chrom_id] * 2 + rb.strand
+                for k in np.unique(key[keep]):
+                    cs = self._chrom_names[int(k) >> 1] + \
+                        ("-" if (int(k) & 1) else "+")
+                    fa = c.feature_indexes.get(cs)
+                    if fa is None:
+                        continue
+                    idx = np.flatnonzero(keep & (key == k))
+                    ss, ee, _sr, _ns = self._flat_segments(rb, idx)
+                    fa.mark_overlapping(ss, ee)
+            reader.close()
+        logging.debug(f"{self.skipped_no_barcode} reads without barcode "
+                      f"skipped")
+
+    # -- pass 2: counting -----------------------------------------------
+
+    def count(self, bamfiles: Iterable[str], multimap: bool,
+              cell_batch_size: int = 100
+              ) -> Tuple[Dict[str, List[np.ndarray]], List[str]]:
+        c = self.c
+        import os
+        bamfiles = list(bamfiles)
+        from collections import Counter as _Counter
+        use_basename = (not bamfiles or
+                        _Counter(bamfiles).most_common(1)[0][1] == 1)
+        cell_bcs_order: List[str] = []
+        dict_list_arrays: Dict[str, List[np.ndarray]] = {
+            layer: [] for layer in c.logic.layers}
+
+        pend: List[ReadBatch] = []
+        pend_bcidx: List[np.ndarray] = []
+        cur_cells: Dict[str, int] = {}
+        nth = [0]
+        mol_serial = [0]   # running counter for without_umi molecule keys
+
+        def flush() -> None:
+            nth[0] += 1
+            if pend:
+                rb_all = ReadBatch.concatenate(pend)
+                bcidx = np.concatenate(pend_bcidx)
+                bc_list = list(cur_cells.keys())
+                logging.debug(f"Counting batch {nth[0]}: {len(bc_list)} "
+                              f"cells, {len(rb_all)} reads")
+                dlc = self.count_cell_batch(rb_all, bcidx, bc_list)
+                c._append_batch_result(dlc, bc_list, dict_list_arrays,
+                                       cell_bcs_order)
+            pend.clear()
+            pend_bcidx.clear()
+            cur_cells.clear()
+
+        for bamfile in bamfiles:
+            label = os.path.basename(bamfile) if use_basename else str(bamfile)
+            reader = open_soa_reader(str(bamfile), c.cellbarcode_str,
+                                     c.umibarcode_str, not multimap)
+            gmap = self._global_chrom_map(reader.references)
+            while True:
+                rb = reader.read_batch()
+                if rb is None:
+                    break
+                keep = _base_keep(rb)
+                if c.umi_extension != "without_umi":
+                    keep &= rb.umi != b""
+                if c.onefilepercell:
+                    names = np.empty(len(rb), dtype=object)
+                    names[:] = label
+                    bc_keep = np.ones(len(rb), dtype=bool)
+                else:
+                    bc_keep, names = self._strip_bcs(rb)
+                keep &= bc_keep
+                # remap chromosomes to the global table before accumulating
+                rb = ReadBatch(gmap[rb.chrom_id].astype(np.int32), rb.strand,
+                               rb.pos, rb.n_segs, rb.seg_start, rb.seg_end,
+                               rb.clip5, rb.clip3, rb.ref_skip, rb.ok,
+                               rb.bc, rb.umi)
+                # cell-contiguous runs (the stream is cell-sorted)
+                change = np.ones(len(rb), dtype=bool)
+                change[1:] = rb.bc[1:] != rb.bc[:-1]
+                run_starts = np.flatnonzero(change)
+                run_ends = np.append(run_starts[1:], len(rb))
+                for s, e in zip(run_starts, run_ends):
+                    kidx = np.flatnonzero(keep[s:e]) + s
+                    if len(kidx) == 0:
+                        continue
+                    name = names[kidx[0]]
+                    if name not in cur_cells:
+                        if len(cur_cells) == cell_batch_size:
+                            flush()
+                        cur_cells[name] = len(cur_cells)
+                    pend.append(rb.take(kidx))
+                    pend_bcidx.append(np.full(len(kidx), cur_cells[name],
+                                              dtype=np.int64))
+            reader.close()
+            flush()   # file boundary (reference None sentinel)
+        logging.debug(f"{self.skipped_no_barcode} reads without barcode "
+                      f"skipped")
+        logging.debug("Counting done!")
+        return dict_list_arrays, cell_bcs_order
+
+    # -- one cell batch, fully vectorized --------------------------------
+
+    def count_cell_batch(self, rb: ReadBatch, read_bcidx: np.ndarray,
+                         bc_list: List[str]) -> Dict[str, np.ndarray]:
+        from .counter import reverse
+        from .logics import NONE, _LAYER_OF_ACTION
+        from .molecules import assemble_and_classify
+        c = self.c
+        n = len(rb)
+        shape = (len(c.geneid2ix), len(bc_list))
+        dict_layers_columns: Dict[str, np.ndarray] = {
+            layer: np.zeros(shape, dtype=c.loom_numeric_dtype, order="C")
+            for layer in c.logic.layers}
+        if n == 0:
+            return dict_layers_columns
+
+        # order reads like the object path (Read.__lt__: chrom, start, end)
+        names = np.array(self._chrom_names, dtype=object)
+        rank_of = np.argsort(np.argsort(names[:len(self._chrom_names)]
+                                        .astype(str)))
+        rank = rank_of[rb.chrom_id]
+        start = rb.seg_start[:, 0]
+        end = _last_end(rb)
+        order = np.lexsort((end, start, rank))
+        rb = rb.take(order)
+        read_bcidx = read_bcidx[order]
+        start = start[order]
+        end = end[order]
+
+        # molecule ids
+        if c.umi_extension == "without_umi":
+            # placeholder UMIs: every read is its own molecule
+            mol_of_read = np.arange(n, dtype=np.int64)
+            mol_bcidx_arr = read_bcidx.astype(np.int64)
+            n_mol = n
+        else:
+            if c.umi_extension == "chr":
+                # reference: f"{umi}_{ref_id}:{rec.pos // 10000000}"
+                # (counter.py:200-201); rec.pos is 0-based
+                extra = (rb.chrom_id.astype(np.int64) << 16) | \
+                    ((rb.pos - 1) // 10_000_000)
+            else:
+                extra = np.zeros(n, dtype=np.int64)
+            key = np.zeros(n, dtype=[("bc", np.int64), ("umi", rb.umi.dtype),
+                                     ("x", np.int64)])
+            key["bc"] = read_bcidx
+            key["umi"] = rb.umi
+            key["x"] = extra
+            _uniq, first, inv = np.unique(key, return_index=True,
+                                          return_inverse=True)
+            mol_of_read = inv.astype(np.int64)
+            mol_bcidx_arr = read_bcidx[first].astype(np.int64)
+            n_mol = len(first)
+
+        # per chromstrand matching
+        stranded = c.logic.stranded
+        discordant = c.logic.accept_discordant
+        record_parts: List[RecordArrays] = []
+        ckey = rb.chrom_id.astype(np.int64) * 2 + rb.strand
+        for k in np.unique(ckey):
+            idx = np.flatnonzero(ckey == k)
+            chrom = self._chrom_names[int(k) >> 1]
+            strand = "-" if (int(k) & 1) else "+"
+            rcs = chrom + strand
+            rev_cs = chrom + reverse(strand)
+
+            keep_idx, rescue_idx = self._mask_filter_soa(
+                rb, idx, rcs, rev_cs, stranded, discordant)
+
+            if stranded and not discordant:
+                record_parts.append(self._match_group_soa(
+                    rb, keep_idx, c.feature_indexes.get(rcs), rcs,
+                    mol_of_read, pseudo_offset=0))
+            elif discordant:
+                record_parts.append(self._match_group_soa(
+                    rb, keep_idx, c.feature_indexes.get(rcs), rcs,
+                    mol_of_read, pseudo_offset=0))
+                record_parts.append(self._match_group_soa(
+                    rb, rescue_idx, c.feature_indexes.get(rev_cs), rev_cs,
+                    mol_of_read, pseudo_offset=n))
+            else:
+                record_parts.append(self._match_group_soa(
+                    rb, keep_idx, c.feature_indexes.get(rcs), rcs,
+                    mol_of_read, pseudo_offset=0))
+                record_parts.append(self._match_group_soa(
+                    rb, keep_idx, c.feature_indexes.get(rev_cs), rev_cs,
+                    mol_of_read, pseudo_offset=n))
+
+        records = RecordArrays.concatenate(record_parts)
+        actions, genes, codes = assemble_and_classify(records, c.logic,
+                                                      n_mol)
+        counted = actions != NONE
+        for action_code, layer in _LAYER_OF_ACTION.items():
+            if layer not in dict_layers_columns:
+                continue
+            sel = counted & (actions == action_code)
+            if sel.any():
+                np.add.at(dict_layers_columns[layer],
+                          (genes[sel], mol_bcidx_arr[sel]), 1)
+
+        failures = int(((codes != 0) & (codes != 2)).sum())
+        if n_mol and failures > 0.25 * n_mol:
+            logging.warning(f"More than 25% of molitems trashed "
+                            f"({100 * failures / n_mol:.1f}%)")
+        return dict_layers_columns
+
+    def _mask_filter_soa(self, rb: ReadBatch, idx: np.ndarray, cs: str,
+                         rev_cs: str, stranded: bool, discordant: bool
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized repeat-mask enclosure filter (reference
+        counter.py:824-827, 977-982, 1124-1127; indexes.py:81-129:
+        EVERY segment must match exactly MATCH_INSIDE)."""
+        c = self.c
+        ma = c.mask_indexes.get(cs)
+        mar = c.mask_indexes.get(rev_cs)
+        empty = np.zeros(0, dtype=np.int64)
+        if ma is None and mar is None:
+            return idx, empty
+
+        ss, ee, _sr, ns = self._flat_segments(rb, idx)
+        offs = np.cumsum(ns) - ns
+
+        def enclosed(index_arrays) -> np.ndarray:
+            if index_arrays is None or len(idx) == 0:
+                return np.zeros(len(idx), dtype=bool)
+            mt = index_arrays.segment_matchtype(ss, ee)
+            inside = (mt == MATCH_INSIDE).astype(np.int8)
+            return np.minimum.reduceat(inside, offs).astype(bool) \
+                if len(inside) else np.zeros(len(idx), dtype=bool)
+
+        own_enc = enclosed(ma)
+        if stranded and not discordant:
+            return idx[~own_enc], empty
+        if discordant:
+            enc_idx = idx[own_enc]
+            if len(enc_idx):
+                rev_enc_sub = np.zeros(len(enc_idx), dtype=bool)
+                ss2, ee2, _sr2, ns2 = self._flat_segments(rb, enc_idx)
+                offs2 = np.cumsum(ns2) - ns2
+                if mar is not None and len(ss2):
+                    mt2 = mar.segment_matchtype(ss2, ee2)
+                    rev_enc_sub = np.minimum.reduceat(
+                        (mt2 == MATCH_INSIDE).astype(np.int8),
+                        offs2).astype(bool)
+                rescue = enc_idx[~rev_enc_sub]
+            else:
+                rescue = empty
+            return idx[~own_enc], rescue
+        rev_enc = enclosed(mar)
+        return idx[~(own_enc | rev_enc)], empty
+
+    def _match_group_soa(self, rb: ReadBatch, idx: np.ndarray,
+                         fa, cs: str, mol_of_read: np.ndarray,
+                         pseudo_offset: int) -> RecordArrays:
+        """Window-match the selected reads' segments against a feature
+        index and build mapping records (mirrors
+        ExInCounter._match_group, array-in/array-out)."""
+        c = self.c
+        empty = RecordArrays(*(np.zeros(0, np.int64),) * 4 +
+                             (np.zeros(0, np.int32), np.zeros(0, np.int32)))
+        if fa is None or fa.n == 0 or len(idx) == 0:
+            return empty
+        ss, ee, seg_read, _ns = self._flat_segments(rb, idx)
+        if len(ss) == 0:
+            return empty
+        srow, feat = fa.match_segments(ss, ee)
+        if len(feat) == 0:
+            return empty
+        pairs_read = seg_read[srow]
+        tm_local = fa.tm_idx[feat].astype(np.int64)
+        pairs_tm = tm_local + c._tm_offset.get(cs, 0)
+        pairs_gene = fa.tm_gene_ix[tm_local]
+        span_ungated = fa.exin_span_flags(srow, feat, ss, ee)
+        validated = fa.is_validated[feat]
+        flags = ((fa.kind[feat] == ord("i")) * F_INTRON +
+                 (fa.kind[feat] == ord("e")) * F_EXON +
+                 validated * F_VALID +
+                 (span_ungated & validated) * F_SPAN_GATED +
+                 span_ungated * F_SPAN_UNGATED).astype(np.int32)
+        seg_spliced = rb.ref_skip.astype(bool)[seg_read][srow]
+        # skip_makes_sense on the pair's own segment coordinates
+        from ..constants import SPLIC_INACUR
+        near = (np.abs(fa.starts[feat] - ss[srow]) <= SPLIC_INACUR) | \
+               (np.abs(fa.ends[feat] - ee[srow]) <= SPLIC_INACUR)
+        skip_ok = np.where(seg_spliced, near, True)
+        mol_map = np.concatenate([mol_of_read, mol_of_read])
+        return build_read_records(pairs_read + pseudo_offset, pairs_tm,
+                                  pairs_gene, flags, skip_ok, mol_map)

@@ -118,6 +118,7 @@ static bool fill(BamHandle* h, size_t want) {
         uint32_t isize;
         memcpy(&isize, cdata.data() + cdata_len + 4, 4);
         if (isize == 0) continue;  // EOF marker block
+        if (isize > 1u << 16) return false;  // BGZF blocks are <= 64 KiB
         const size_t off = h->buf.size();
         h->buf.resize(off + isize);
         z_stream zs;
@@ -269,8 +270,8 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
         clip5[i] = clip3[i] = 0;
         ref_skip[i] = 0;
         n_segs[i] = 0;
-        bc_buf[i * 32] = 0;
-        umi_buf[i * 32] = 0;
+        memset(bc_buf + i * 32, 0, 32);
+        memset(umi_buf + i * 32, 0, 32);
         flags_ok[i] = 0;
 
         if (flag & 0x4) continue;  // unmapped
