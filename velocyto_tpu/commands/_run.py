@@ -200,11 +200,30 @@ def _run(*, bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
                 logging.info(f"Sorting {bamfile[ni]} -> {bmf_cellsorted}")
                 check_end_process = True
             except FileNotFoundError:
-                # no samtools in the environment: fall back to an internal
-                # cell-tag sort (pure python; fine for small/medium BAMs)
-                logging.warning("samtools not found; using the internal "
-                                "cell-barcode sorter")
-                _internal_cellsort(bamfile[ni], bmf_cellsorted, tagname)
+                # no samtools: the native external sorter (parallel BGZF
+                # compression, spill runs above the memory limit), run in
+                # a thread so it overlaps GTF parsing like the samtools
+                # subprocess does; pure-python as last resort
+                from .. import native
+                if native.available():
+                    logging.info(f"Sorting {bamfile[ni]} -> "
+                                 f"{bmf_cellsorted} (native sorter)")
+                    import threading
+
+                    def _sort(src=bamfile[ni], dst=bmf_cellsorted):
+                        native.bam_sort_by_tag(
+                            src, dst, tagname,
+                            mem_limit=mb_to_use * threads_to_use << 20,
+                            n_threads=threads_to_use)
+
+                    th = threading.Thread(target=_sort, daemon=True)
+                    th.start()
+                    sorting_processes[ni] = _ThreadHandle(th)
+                    check_end_process = True
+                else:
+                    logging.warning("samtools not found; using the "
+                                    "internal cell-barcode sorter")
+                    _internal_cellsort(bamfile[ni], bmf_cellsorted, tagname)
 
     logging.info(f"Load the annotation from {gtffile}")
     exincounter.read_transcriptmodels(gtffile)
@@ -276,6 +295,17 @@ def _run(*, bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
                               "velocyto.logic": logic})
     logging.debug("Terminated Successfully!")
     return outfile
+
+
+class _ThreadHandle:
+    """Popen-like wrapper over a sorter thread (wait -> returncode 0)."""
+
+    def __init__(self, thread) -> None:
+        self._thread = thread
+
+    def wait(self) -> int:
+        self._thread.join()
+        return 0
 
 
 def _internal_cellsort(src: str, dst: str, tagname: str) -> None:

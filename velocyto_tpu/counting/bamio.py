@@ -200,51 +200,93 @@ def write_bam(path: str, references: List[Tuple[str, int]],
         f.write(bgzf_compress(bytes(payload)))
 
 
+class _BgzfStream:
+    """Incremental BGZF/gzip inflater with a read(n) interface: the
+    compressed file is consumed in chunks, so a BamReader never holds a
+    whole decoded BAM in memory."""
+
+    _CHUNK = 1 << 20
+
+    def __init__(self, f) -> None:
+        self._f = f
+        self._d = zlib.decompressobj(31)
+        self._buf = bytearray()
+        self._pos = 0
+        self._eof = False
+
+    def _fill(self, want: int) -> None:
+        while len(self._buf) - self._pos < want and not self._eof:
+            if self._pos > (1 << 22):
+                del self._buf[:self._pos]
+                self._pos = 0
+            if self._d.eof:
+                carry = self._d.unused_data
+                self._d = zlib.decompressobj(31)
+                if carry:
+                    self._buf += self._d.decompress(carry)
+                    continue
+            raw = self._f.read(self._CHUNK)
+            if not raw:
+                self._eof = True
+                break
+            self._buf += self._d.decompress(raw)
+
+    def read(self, n: int) -> bytes:
+        self._fill(n)
+        out = bytes(self._buf[self._pos:self._pos + n])
+        self._pos += len(out)
+        return out
+
+
+class _RawStream:
+    def __init__(self, f) -> None:
+        self._f = f
+
+    def read(self, n: int) -> bytes:
+        return self._f.read(n)
+
+
 class BamReader:
-    """Sequential BAM reader (pure python fallback / oracle)."""
+    """Sequential streaming BAM reader (pure python fallback / oracle)."""
 
     def __init__(self, path: str) -> None:
-        with open(path, "rb") as f:
-            raw = f.read()
-        if raw[:2] == b"\x1f\x8b":
-            data = bgzf_decompress(raw)
+        self._fh = open(path, "rb")
+        magic = self._fh.read(2)
+        self._fh.seek(0)
+        if magic == b"\x1f\x8b":
+            self._stream = _BgzfStream(self._fh)
         else:
-            data = raw
-        if data[:4] != _BAM_MAGIC:
+            self._stream = _RawStream(self._fh)
+        if self._stream.read(4) != _BAM_MAGIC:
             raise IOError(f"{path} is not a BAM file")
-        pos = 4
-        l_text = struct.unpack_from("<i", data, pos)[0]
-        pos += 4
-        self.header_text = data[pos:pos + l_text].decode(errors="replace")
-        pos += l_text
-        n_ref = struct.unpack_from("<i", data, pos)[0]
-        pos += 4
+        l_text = struct.unpack("<i", self._stream.read(4))[0]
+        self.header_text = self._stream.read(l_text).decode(errors="replace")
+        n_ref = struct.unpack("<i", self._stream.read(4))[0]
         self.references: List[str] = []
         self.lengths: List[int] = []
         for _ in range(n_ref):
-            l_name = struct.unpack_from("<i", data, pos)[0]
-            pos += 4
-            self.references.append(data[pos:pos + l_name - 1].decode())
-            pos += l_name
-            self.lengths.append(struct.unpack_from("<i", data, pos)[0])
-            pos += 4
-        self._data = data
-        self._start = pos
+            l_name = struct.unpack("<i", self._stream.read(4))[0]
+            self.references.append(
+                self._stream.read(l_name)[:-1].decode())
+            self.lengths.append(
+                struct.unpack("<i", self._stream.read(4))[0])
 
     def get_reference_name(self, ref_id: int) -> str:
         return self.references[ref_id]
 
     def __iter__(self) -> Iterator[BamRecord]:
-        data = self._data
-        pos = self._start
-        n = len(data)
-        while pos + 4 <= n:
-            block_size = struct.unpack_from("<i", data, pos)[0]
-            pos += 4
-            end = pos + block_size
+        read = self._stream.read
+        while True:
+            head = read(4)
+            if len(head) < 4:
+                return
+            block_size = struct.unpack("<i", head)[0]
+            data = read(block_size)
+            if len(data) < block_size:
+                return
             (ref_id, p, l_rn, mapq, _bin, n_cig, flag, l_seq, nrid, npos,
-             tlen) = struct.unpack_from("<iiBBHHHiiii", data, pos)
-            off = pos + 32
+             tlen) = struct.unpack_from("<iiBBHHHiiii", data)
+            off = 32
             name = data[off:off + l_rn - 1].decode()
             off += l_rn
             cigar = []
@@ -260,8 +302,6 @@ class BamReader:
                 for i in range(l_seq))
             qual = data[off:off + l_seq]
             off += l_seq
-            tags = _decode_tags(data[off:end])
-            rec = BamRecord(name, flag, ref_id, p, cigar, tags, mapq, seq,
+            tags = _decode_tags(data[off:block_size])
+            yield BamRecord(name, flag, ref_id, p, cigar, tags, mapq, seq,
                             qual, nrid, npos, tlen)
-            pos = end
-            yield rec

@@ -92,10 +92,35 @@ def _configure(lib) -> None:
         c_char_p,           # out umi buffer  (n * 32)
         c_int,              # require_unique (NH==1)
     ]
+    lib.vtpu_bam_sort_by_tag.restype = c_int64
+    lib.vtpu_bam_sort_by_tag.argtypes = [
+        c_char_p, c_char_p, c_char_p,   # src, dst, tag
+        c_int64,                        # mem_limit bytes
+        c_int32, c_int32,               # n_threads, compression level
+    ]
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def bam_sort_by_tag(src: str, dst: str, tag: str,
+                    mem_limit: int = 4 << 30, n_threads: int = 0,
+                    level: int = 1) -> int:
+    """Sort a BAM by an aux tag (the `samtools sort -t CB` equivalent).
+    External sort with spill runs above mem_limit bytes; BGZF output is
+    compressed by a thread pool.  Returns the number of records."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libvtpu not available")
+    if n_threads <= 0:
+        n_threads = max(1, (os.cpu_count() or 2) - 1)
+    n = lib.vtpu_bam_sort_by_tag(src.encode(), dst.encode(),
+                                 tag.encode()[:2], mem_limit, n_threads,
+                                 level)
+    if n < 0:
+        raise IOError(f"native BAM sort failed for {src}")
+    return int(n)
 
 
 def balance_knn_loop(dsi: np.ndarray, dist: np.ndarray, lsi: np.ndarray,

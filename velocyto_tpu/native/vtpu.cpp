@@ -15,11 +15,14 @@
 //
 // Build: make -C velocyto_tpu/native   (produces libvtpu.so, loaded via ctypes)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <queue>
 #include <string>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -364,6 +367,290 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
         flags_ok[i] = 1;
     }
     return count;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BAM sort by aux tag (the `samtools sort -t CB` equivalent the counting
+// pipeline needs; the reference shells out to samtools, _run.py:169-182)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Parallel BGZF writer: payload is chunked into <=60000-byte blocks,
+// compressed by a thread pool in batches, written in order.
+struct BgzfWriter {
+    FILE* fp;
+    int level;
+    int n_threads;
+    std::vector<uint8_t> pending;           // uncompressed payload buffer
+
+    BgzfWriter(FILE* f, int lvl, int threads)
+        : fp(f), level(lvl), n_threads(threads < 1 ? 1 : threads) {}
+
+    static std::vector<uint8_t> compress_block(const uint8_t* p, size_t n,
+                                               int level) {
+        std::vector<uint8_t> comp(compressBound(n) + 64);
+        z_stream zs;
+        memset(&zs, 0, sizeof zs);
+        deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+        zs.next_in = const_cast<uint8_t*>(p);
+        zs.avail_in = n;
+        zs.next_out = comp.data();
+        zs.avail_out = comp.size();
+        deflate(&zs, Z_FINISH);
+        const size_t clen = zs.total_out;
+        deflateEnd(&zs);
+        const uint32_t crc = crc32(crc32(0, nullptr, 0), p, n);
+        std::vector<uint8_t> out(18 + clen + 8);
+        static const uint8_t hdr10[10] = {0x1f, 0x8b, 0x08, 0x04,
+                                          0, 0, 0, 0, 0, 0};
+        memcpy(out.data(), hdr10, 10);
+        const uint16_t xlen = 6;
+        const uint16_t bsize = (uint16_t)(18 + clen + 8 - 1);
+        out[10] = xlen & 0xff; out[11] = xlen >> 8;
+        out[12] = 'B'; out[13] = 'C';
+        out[14] = 2; out[15] = 0;
+        out[16] = bsize & 0xff; out[17] = bsize >> 8;
+        memcpy(out.data() + 18, comp.data(), clen);
+        memcpy(out.data() + 18 + clen, &crc, 4);
+        const uint32_t isize = n;
+        memcpy(out.data() + 18 + clen + 4, &isize, 4);
+        return out;
+    }
+
+    void flush_blocks(bool final_flush) {
+        const size_t BLK = 60000;
+        // keep a partial tail block unless final
+        size_t nfull = pending.size() / BLK;
+        size_t tail = pending.size() - nfull * BLK;
+        size_t nblocks = nfull + ((final_flush && tail) ? 1 : 0);
+        if (!nblocks) {
+            if (final_flush) pending.clear();
+            return;
+        }
+        std::vector<std::vector<uint8_t>> outs(nblocks);
+        size_t per = (nblocks + n_threads - 1) / n_threads;
+        std::vector<std::thread> ths;
+        for (int t = 0; t < n_threads; ++t) {
+            size_t lo = t * per, hi = std::min(nblocks, lo + per);
+            if (lo >= hi) break;
+            ths.emplace_back([&, lo, hi]() {
+                for (size_t i = lo; i < hi; ++i) {
+                    size_t off = i * BLK;
+                    size_t len = std::min(BLK, pending.size() - off);
+                    outs[i] = compress_block(pending.data() + off, len,
+                                             level);
+                }
+            });
+        }
+        for (auto& th : ths) th.join();
+        for (auto& o : outs) fwrite(o.data(), 1, o.size(), fp);
+        if (final_flush) {
+            pending.clear();
+        } else {
+            pending.erase(pending.begin(), pending.begin() + nfull * BLK);
+        }
+    }
+
+    void write(const uint8_t* p, size_t n) {
+        pending.insert(pending.end(), p, p + n);
+        if (pending.size() >= (size_t)60000 * n_threads * 4)
+            flush_blocks(false);
+    }
+
+    void finish() {
+        flush_blocks(true);
+        static const uint8_t eof_block[28] = {
+            0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
+            0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+            0, 0, 0, 0, 0, 0, 0, 0};
+        fwrite(eof_block, 1, 28, fp);
+    }
+};
+
+// The Z-string value of `tag` inside a raw record blob, or "" if absent.
+static std::string tag_value(const uint8_t* rec, size_t len,
+                             const char* tag) {
+    if (len < 32) return "";
+    const uint8_t l_read_name = rec[8];
+    const uint16_t n_cigar = rec[12] | (rec[13] << 8);
+    int32_t l_seq;
+    memcpy(&l_seq, rec + 16, 4);
+    const uint8_t* aux = rec + 32 + l_read_name + 4 * (size_t)n_cigar +
+        (l_seq + 1) / 2 + l_seq;
+    const uint8_t* end = rec + len;
+    if (aux > end) return "";
+    const uint8_t* t = find_tag(aux, end, tag);
+    if (!t || *t != 'Z') return "";
+    const char* v = (const char*)(t + 1);
+    size_t n = strnlen(v, end - t - 1);
+    return std::string(v, n);
+}
+
+struct RunReader {
+    FILE* fp;
+    std::vector<uint8_t> blob;
+    std::string key;
+    uint64_t seq = 0;
+    bool next(const char* tag) {
+        uint32_t len;
+        if (fread(&len, 4, 1, fp) != 1) return false;
+        blob.resize(len);
+        if (fread(blob.data(), 1, len, fp) != len) return false;
+        key = tag_value(blob.data(), len, tag);
+        ++seq;
+        return true;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Sort a BAM by the given aux tag (stable within equal keys; reads with
+// no tag sort first).  Returns number of records, or -1 on error.
+int64_t vtpu_bam_sort_by_tag(const char* src, const char* dst,
+                             const char* tag, int64_t mem_limit,
+                             int32_t n_threads, int32_t level) {
+    BamHandle* h = (BamHandle*)vtpu_bam_open(src);
+    if (!h) return -1;
+    // re-encode the header (magic, text, refs)
+    std::vector<uint8_t> header;
+    {
+        header.insert(header.end(), {'B', 'A', 'M', 1});
+        int32_t l_text = 0;   // header text was not retained by open;
+        // re-emit a minimal @HD line + refs (consumers use the ref table)
+        std::string text = "@HD\tVN:1.6\tSO:unknown\n";
+        l_text = text.size();
+        header.insert(header.end(), (uint8_t*)&l_text,
+                      (uint8_t*)&l_text + 4);
+        header.insert(header.end(), text.begin(), text.end());
+        int32_t n_ref = h->refs.size();
+        header.insert(header.end(), (uint8_t*)&n_ref,
+                      (uint8_t*)&n_ref + 4);
+        for (size_t i = 0; i < h->refs.size(); ++i) {
+            int32_t l_name = h->refs[i].size() + 1;
+            header.insert(header.end(), (uint8_t*)&l_name,
+                          (uint8_t*)&l_name + 4);
+            header.insert(header.end(), h->refs[i].begin(),
+                          h->refs[i].end());
+            header.push_back(0);
+            int32_t l_ref = (int32_t)h->ref_len[i];
+            header.insert(header.end(), (uint8_t*)&l_ref,
+                          (uint8_t*)&l_ref + 4);
+        }
+    }
+
+    struct Rec { size_t key_off; uint32_t key_len;
+                 size_t blob_off; uint32_t blob_len; };
+    std::vector<uint8_t> arena;   // concatenated record blobs
+    std::vector<char> keys;
+    std::vector<Rec> recs;
+    std::vector<std::string> run_files;
+    int64_t total = 0;
+
+    auto flush_run = [&]() -> bool {
+        if (recs.empty()) return true;
+        std::stable_sort(recs.begin(), recs.end(),
+                         [&](const Rec& a, const Rec& b) {
+            int c = memcmp(keys.data() + a.key_off, keys.data() + b.key_off,
+                           std::min(a.key_len, b.key_len));
+            if (c) return c < 0;
+            return a.key_len < b.key_len;
+        });
+        std::string fn = std::string(dst) + ".run" +
+            std::to_string(run_files.size());
+        FILE* rf = fopen(fn.c_str(), "wb");
+        if (!rf) return false;
+        for (const Rec& r : recs) {
+            fwrite(&r.blob_len, 4, 1, rf);
+            fwrite(arena.data() + r.blob_off, 1, r.blob_len, rf);
+        }
+        fclose(rf);
+        run_files.push_back(fn);
+        arena.clear(); keys.clear(); recs.clear();
+        return true;
+    };
+
+    // read all records
+    std::vector<uint8_t> rec;
+    while (true) {
+        int32_t block_size;
+        if (!fill(h, 4)) { vtpu_bam_close(h); return -1; }
+        if (h->buf.size() - h->buf_pos < 4) break;
+        if (!take(h, &block_size, 4)) break;
+        if (block_size <= 0) { vtpu_bam_close(h); return -1; }
+        rec.resize(block_size);
+        if (!take(h, rec.data(), block_size)) {
+            vtpu_bam_close(h); return -1;
+        }
+        std::string key = tag_value(rec.data(), rec.size(), tag);
+        Rec r;
+        r.key_off = keys.size(); r.key_len = key.size();
+        r.blob_off = arena.size(); r.blob_len = rec.size();
+        keys.insert(keys.end(), key.begin(), key.end());
+        arena.insert(arena.end(), rec.begin(), rec.end());
+        recs.push_back(r);
+        ++total;
+        if ((int64_t)arena.size() > mem_limit) {
+            if (!flush_run()) { vtpu_bam_close(h); return -1; }
+        }
+    }
+    vtpu_bam_close(h);
+
+    FILE* out = fopen(dst, "wb");
+    if (!out) return -1;
+    BgzfWriter w(out, level, n_threads);
+    w.write(header.data(), header.size());
+
+    if (run_files.empty()) {
+        // single in-memory run
+        std::stable_sort(recs.begin(), recs.end(),
+                         [&](const Rec& a, const Rec& b) {
+            int c = memcmp(keys.data() + a.key_off, keys.data() + b.key_off,
+                           std::min(a.key_len, b.key_len));
+            if (c) return c < 0;
+            return a.key_len < b.key_len;
+        });
+        for (const Rec& r : recs) {
+            int32_t bs = r.blob_len;
+            w.write((uint8_t*)&bs, 4);
+            w.write(arena.data() + r.blob_off, r.blob_len);
+        }
+    } else {
+        if (!flush_run()) { fclose(out); return -1; }
+        // k-way merge of the runs
+        std::vector<RunReader> readers(run_files.size());
+        for (size_t i = 0; i < run_files.size(); ++i) {
+            readers[i].fp = fopen(run_files[i].c_str(), "rb");
+            if (!readers[i].fp) { fclose(out); return -1; }
+        }
+        using HeapItem = std::pair<std::pair<std::string, size_t>, size_t>;
+        auto cmp = [](const HeapItem& a, const HeapItem& b) {
+            return a.first > b.first;   // min-heap on (key, run index)
+        };
+        std::priority_queue<HeapItem, std::vector<HeapItem>,
+                            decltype(cmp)> heap(cmp);
+        for (size_t i = 0; i < readers.size(); ++i)
+            if (readers[i].next(tag))
+                heap.push({{readers[i].key, i}, i});
+        while (!heap.empty()) {
+            size_t i = heap.top().second;
+            heap.pop();
+            int32_t bs = readers[i].blob.size();
+            w.write((uint8_t*)&bs, 4);
+            w.write(readers[i].blob.data(), readers[i].blob.size());
+            if (readers[i].next(tag))
+                heap.push({{readers[i].key, i}, i});
+        }
+        for (size_t i = 0; i < readers.size(); ++i) fclose(readers[i].fp);
+        for (const auto& fn : run_files) remove(fn.c_str());
+    }
+    w.finish();
+    fclose(out);
+    return total;
 }
 
 }  // extern "C"
