@@ -106,6 +106,7 @@ def _run_two_pass(counter_args, gtf, bam_sorted, bam_pos, mask_gtf=None,
     counter = ExInCounter(**counter_args)
     if force_object:
         counter._fastpath_ok = lambda: False
+    counter.peek(bam_pos)
     counter.read_transcriptmodels(gtf)
     if mask_gtf:
         counter.read_repeats(mask_gtf)
@@ -117,15 +118,20 @@ def _run_two_pass(counter_args, gtf, bam_sorted, bam_pos, mask_gtf=None,
     return layers, bcs
 
 
-def _assert_equal_runs(fast, obj):
+def _assert_equal_runs(fast, obj, expect_molecules=True):
     lf, bf = fast
     lo, bo = obj
     assert sorted(bf) == sorted(bo)
     pf = np.argsort(np.array(bf))
     po = np.argsort(np.array(bo))
+    total = 0
     for layer in lf:
         np.testing.assert_array_equal(lf[layer][:, pf], lo[layer][:, po],
                                       err_msg=f"layer {layer}")
+        total += int(lf[layer].sum())
+    if expect_molecules:
+        assert len(bf) > 0 and total > 0, \
+            "differential comparison is vacuous (no molecules counted)"
 
 
 @pytest.mark.skipif(not native.available(), reason="libvtpu not built")
@@ -241,3 +247,30 @@ def test_fastpath_onefilepercell_without_umi(tmp_path, annotation):
         # molecule in both engines, so totals must agree exactly
         np.testing.assert_array_equal(lf[:, pf], lo[:, po],
                                       err_msg=f"layer {layer}")
+
+
+def test_pcount_matches_count(tmp_path, annotation):
+    gtf, genes = annotation
+    bam, bcs = _random_bam(tmp_path, genes, seed=5, n_reads=1200,
+                           n_cells=20)
+    cs = _cellsort(tmp_path, bam)
+    args = dict(sampleid="s", logic=LOGICS["Permissive10X"],
+                valid_bcset=set(bcs))
+    c1 = ExInCounter(**args)
+    c1.peek(bam)
+    c1.read_transcriptmodels(gtf)
+    c1.mark_up_introns([bam], multimap=False)
+    d1, b1 = c1.count([cs], multimap=False, cell_batch_size=4)
+    c2 = ExInCounter(**args)
+    c2.peek(bam)
+    c2.read_transcriptmodels(gtf)
+    c2.mark_up_introns([bam], multimap=False)
+    d2, b2 = c2.pcount([cs], multimap=False, cell_batch_size=4,
+                       n_processes=2)
+    assert b1 == b2 and len(b1) == 20
+    total = 0
+    for layer in d1:
+        m1 = np.concatenate(d1[layer], axis=1)
+        np.testing.assert_array_equal(m1, np.concatenate(d2[layer], axis=1))
+        total += int(m1.sum())
+    assert total > 0

@@ -39,7 +39,7 @@ def _run(*, bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
          umi_extension: str, multimap: bool, test: bool,
          samtools_threads: int, samtools_memory: int,
          loom_numeric_dtype: str, dump: str, verbose: int,
-         additional_ca: dict = {}) -> None:
+         processes: int = 0, additional_ca: dict = {}) -> None:
     """Run the counting pipeline, outputting a loom file."""
     logging.basicConfig(
         stream=sys.stdout,
@@ -245,8 +245,12 @@ def _run(*, bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
                     "samtools >= 1.6 or raise --samtools-memory")
 
     logging.debug("Start molecule counting!")
-    dict_list_arrays, cell_bcs_order = exincounter.count(
-        bamfile_cellsorted, multimap=multimap)
+    if processes and processes > 1:
+        dict_list_arrays, cell_bcs_order = exincounter.pcount(
+            bamfile_cellsorted, multimap=multimap, n_processes=processes)
+    else:
+        dict_list_arrays, cell_bcs_order = exincounter.count(
+            bamfile_cellsorted, multimap=multimap)
 
     if not exincounter.filter_mode:
         gem_grp = ""

@@ -52,6 +52,10 @@ from ._run import _run
               help="The dtype of the loom file layers")
 @click.option("--dump", "-d", default="0",
               help="For debugging purposes only: molecular mapping report")
+@click.option("--processes", "-p", default=0,
+              help="Worker processes for parallel molecule counting "
+                   "(0 = serial). velocyto_tpu extension: the reference "
+                   "declares pcount but never implemented it.")
 @click.option("--verbose", "-v", count=True, default=1,
               help="Set the verbosity level")
 def run(bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
@@ -59,7 +63,8 @@ def run(bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
         metadatatable: Optional[str], mask: Optional[str],
         onefilepercell: bool, logic: str, without_umi: bool,
         umi_extension: str, multimap: bool, samtools_threads: int,
-        samtools_memory: int, dtype: str, dump: str, verbose: int,
+        samtools_memory: int, dtype: str, dump: str, processes: int,
+        verbose: int,
         additional_ca: dict = {}) -> None:
     """Runs the velocity analysis outputting a loom file
 
@@ -75,5 +80,6 @@ def run(bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
                 multimap=multimap, test=False,
                 samtools_threads=samtools_threads,
                 samtools_memory=samtools_memory, dump=dump,
+                processes=processes,
                 loom_numeric_dtype=dtype, verbose=verbose,
                 additional_ca=additional_ca)

@@ -338,6 +338,21 @@ class ExInCounter:
     # pass 2: molecule counting (reference counter.py:701-1254)
     # ------------------------------------------------------------------
 
+    def pcount(self, bamfile: Iterable[str], multimap: bool,
+               cell_batch_size: int = 100, n_processes: int = 2
+               ) -> Tuple[Dict[str, List[np.ndarray]], List[str]]:
+        """Parallel molecule counting over independent cell batches.
+
+        The reference declares this API but never implemented it
+        (reference counter.py:1256-1265, NotImplementedError); here the
+        SoA engine fans cell batches out to a fork-based worker pool.
+        Falls back to the serial path when the fast path is unavailable.
+        """
+        if self._fastpath_ok() and n_processes > 1:
+            return self._soa_engine().pcount(bamfile, multimap,
+                                             cell_batch_size, n_processes)
+        return self.count(bamfile, multimap, cell_batch_size)
+
     def count(self, bamfile: Iterable[str], multimap: bool,
               cell_batch_size: int = 100, molecules_report: bool = False
               ) -> Tuple[Dict[str, List[np.ndarray]], List[str]]:

@@ -35,6 +35,19 @@ from .molecules import (RecordArrays, build_read_records,
 from .reads import normalize_chrom
 
 
+_POOL_ENGINE = None   # fork-inherited engine for pcount workers
+
+
+def _pool_count_batch(rb: ReadBatch, bcidx: np.ndarray, bc_list: List[str],
+                      chrom_names: List[str]):
+    """Worker entry: runs one cell batch against the fork-inherited
+    engine (chrom names snapshot passed per task - the parent's table
+    may have grown since the fork)."""
+    eng = _POOL_ENGINE
+    eng._chrom_names = chrom_names
+    return eng.count_cell_batch(rb, bcidx, bc_list)
+
+
 def _last_end(rb: ReadBatch) -> np.ndarray:
     """Per-read end coordinate (end of the last segment)."""
     n = len(rb)
@@ -261,6 +274,110 @@ class SoaEngine:
             flush()   # file boundary (reference None sentinel)
         logging.debug(f"{self.skipped_no_barcode} reads without barcode "
                       f"skipped")
+        logging.debug("Counting done!")
+        return dict_list_arrays, cell_bcs_order
+
+    # -- parallel counting (the reference's pcount stub, implemented:
+    #    reference counter.py:1256-1265 raises NotImplementedError) ------
+
+    def pcount(self, bamfiles: Iterable[str], multimap: bool,
+               cell_batch_size: int = 100, n_processes: int = 2
+               ) -> Tuple[Dict[str, List[np.ndarray]], List[str]]:
+        """count() with cell batches processed by a fork-based worker
+        pool.  Cell batches are independent by construction (molecule
+        keys contain the cell barcode), so results are exact."""
+        import concurrent.futures as cf
+        import multiprocessing as mp
+        import os
+        c = self.c
+        bamfiles = list(bamfiles)
+        from collections import Counter as _Counter
+        use_basename = (not bamfiles or
+                        _Counter(bamfiles).most_common(1)[0][1] == 1)
+        cell_bcs_order: List[str] = []
+        dict_list_arrays: Dict[str, List[np.ndarray]] = {
+            layer: [] for layer in c.logic.layers}
+
+        pend: List[ReadBatch] = []
+        pend_bcidx: List[np.ndarray] = []
+        cur_cells: Dict[str, int] = {}
+        futures: List[Tuple] = []
+
+        global _POOL_ENGINE
+        _POOL_ENGINE = self
+        ctx = mp.get_context("fork")
+        with cf.ProcessPoolExecutor(max_workers=n_processes,
+                                    mp_context=ctx) as pool:
+            def drain(block: bool) -> None:
+                # consume completed batches in submission order to keep
+                # memory bounded and the column order deterministic
+                while futures:
+                    if block or futures[0][0].done() or \
+                            len(futures) > 2 * n_processes:
+                        fut, bc_list = futures.pop(0)
+                        c._append_batch_result(fut.result(), bc_list,
+                                               dict_list_arrays,
+                                               cell_bcs_order)
+                    else:
+                        break
+
+            def flush() -> None:
+                if pend:
+                    rb_all = ReadBatch.concatenate(pend)
+                    bcidx = np.concatenate(pend_bcidx)
+                    bc_list = list(cur_cells.keys())
+                    futures.append((pool.submit(
+                        _pool_count_batch, rb_all, bcidx, bc_list,
+                        list(self._chrom_names)), bc_list))
+                    drain(block=False)
+                pend.clear()
+                pend_bcidx.clear()
+                cur_cells.clear()
+
+            for bamfile in bamfiles:
+                label = os.path.basename(bamfile) if use_basename \
+                    else str(bamfile)
+                reader = open_soa_reader(str(bamfile), c.cellbarcode_str,
+                                         c.umibarcode_str, not multimap)
+                gmap = self._global_chrom_map(reader.references)
+                while True:
+                    rb = reader.read_batch()
+                    if rb is None:
+                        break
+                    keep = _base_keep(rb)
+                    if c.umi_extension != "without_umi":
+                        keep &= rb.umi != b""
+                    if c.onefilepercell:
+                        names = np.empty(len(rb), dtype=object)
+                        names[:] = label
+                        bc_keep = np.ones(len(rb), dtype=bool)
+                    else:
+                        bc_keep, names = self._strip_bcs(rb)
+                    keep &= bc_keep
+                    rb = ReadBatch(gmap[rb.chrom_id].astype(np.int32),
+                                   rb.strand, rb.pos, rb.n_segs,
+                                   rb.seg_start, rb.seg_end, rb.clip5,
+                                   rb.clip3, rb.ref_skip, rb.ok,
+                                   rb.bc, rb.umi)
+                    change = np.ones(len(rb), dtype=bool)
+                    change[1:] = rb.bc[1:] != rb.bc[:-1]
+                    run_starts = np.flatnonzero(change)
+                    run_ends = np.append(run_starts[1:], len(rb))
+                    for s, e in zip(run_starts, run_ends):
+                        kidx = np.flatnonzero(keep[s:e]) + s
+                        if len(kidx) == 0:
+                            continue
+                        name = names[kidx[0]]
+                        if name not in cur_cells:
+                            if len(cur_cells) == cell_batch_size:
+                                flush()
+                            cur_cells[name] = len(cur_cells)
+                        pend.append(rb.take(kidx))
+                        pend_bcidx.append(np.full(
+                            len(kidx), cur_cells[name], dtype=np.int64))
+                reader.close()
+                flush()
+            drain(block=True)
         logging.debug("Counting done!")
         return dict_list_arrays, cell_bcs_order
 
