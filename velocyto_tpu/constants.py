@@ -48,3 +48,11 @@ CIGAR = {0: "BAM_CMATCH",
 # Longest genomic span a read may cover before being trashed
 # (reference: counter.py:291-297)
 MAX_READ_SPAN = 3_000_000
+
+
+def __getattr__(name):
+    # lazy: the 10x GEM sample-index table (reference constants.py:42-233)
+    if name == "GEM_codes":
+        from .utils.tenx_indexes import GEM_codes
+        return GEM_codes
+    raise AttributeError(name)
