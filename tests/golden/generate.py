@@ -1,0 +1,164 @@
+"""Golden-fixture generator: runs the REFERENCE velocyto.py analysis
+pipeline (mounted read-only at /root/reference) on a deterministic
+synthetic dataset and saves the outputs of every stage to golden.npz.
+
+The reference's native/pysam/loompy dependencies are stubbed:
+  - pysam/loompy: import-time stubs (the analysis layer never calls them
+    when the VelocytoLoom is attribute-injected)
+  - numba.jit: identity decorator (the pure-python loop bodies run as-is)
+  - velocyto.speedboosted: numpy implementations of the colDeltaCor
+    kernels from tests/oracles.py (independently validated against the
+    reference math and against velocyto_tpu's TPU kernels)
+
+Run:  python tests/golden/generate.py    (writes tests/golden/golden.npz)
+"""
+import os
+import sys
+import types
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, ".."))          # tests/ (oracles)
+from oracles import col_delta_cor_dense, col_delta_cor_partial  # noqa
+
+
+def _install_stubs():
+    # scipy >= 1.14 removed the `.A` alias the reference uses
+    from scipy import sparse as _sp
+    if not hasattr(_sp.csr_matrix, "A"):
+        _sp.csr_matrix.A = property(lambda self: self.toarray())
+        _sp.coo_matrix.A = property(lambda self: self.toarray())
+        _sp.lil_matrix.A = property(lambda self: self.toarray())
+    pysam = types.ModuleType("pysam")
+    pysam.AlignedSegment = type("AlignedSegment", (), {})
+    pysam.AlignmentFile = type("AlignmentFile", (), {})
+    sys.modules["pysam"] = pysam
+    loompy = types.ModuleType("loompy")
+    loompy.connect = None
+    loompy.create = None
+    sys.modules["loompy"] = loompy
+    numba = types.ModuleType("numba")
+
+    def jit(*a, **k):
+        if a and callable(a[0]):
+            return a[0]
+        return lambda f: f
+
+    class _Ty:
+        def __call__(self, *a):
+            return None
+
+        def __getitem__(self, x):
+            return None
+
+    numba.jit = jit
+    numba.njit = jit
+    for n in ("float64", "float32", "int64", "int32", "intp", "boolean",
+              "void", "int_"):
+        setattr(numba, n, _Ty())
+    sys.modules["numba"] = numba
+
+    sb = types.ModuleType("velocyto.speedboosted")
+
+    def _mk(transform, partial):
+        # reference signatures: (emat, dmat, out[, ixs], threads[, psc])
+        if partial:
+            def f(e, d, out, ixs, threads, psc=0.0):
+                out[:] = col_delta_cor_partial(e, d, ixs,
+                                               transform=transform, psc=psc)
+            return f
+
+        def f(e, d, out, threads, psc=0.0):
+            out[:] = col_delta_cor_dense(e, d, transform=transform, psc=psc)
+        return f
+
+    sb._colDeltaCor = _mk("linear", False)
+    sb._colDeltaCorSqrt = _mk("sqrt", False)
+    sb._colDeltaCorLog10 = _mk("log10", False)
+    sb._colDeltaCorpartial = _mk("linear", True)
+    sb._colDeltaCorSqrtpartial = _mk("sqrt", True)
+    sb._colDeltaCorLog10partial = _mk("log10", True)
+    sys.modules["velocyto.speedboosted"] = sb
+
+
+def synth_data(seed=0, n=120, g=80):
+    rng = np.random.default_rng(seed)
+    gamma_true = rng.uniform(0.2, 1.2, g)
+    base = rng.gamma(2.0, 2.0, (g, n))
+    S = rng.poisson(base).astype(np.float32)
+    U = rng.poisson(0.5 * gamma_true[:, None] * base + 0.05).astype(
+        np.float32)
+    return S, U
+
+
+def main():
+    _install_stubs()
+    sys.path.insert(0, "/root/reference")
+    import velocyto as rvcy
+
+    S, U = synth_data()
+    g, n = S.shape
+    vlm = rvcy.VelocytoLoom.__new__(rvcy.VelocytoLoom)
+    vlm.S = S.copy()
+    vlm.U = U.copy()
+    vlm.A = np.zeros_like(S)
+    vlm.initial_cell_size = vlm.S.sum(0)
+    vlm.initial_Ucell_size = vlm.U.sum(0)
+    vlm.ca = {"CellID": np.array([f"c{i}" for i in range(n)])}
+    vlm.ra = {"Gene": np.array([f"g{i}" for i in range(g)])}
+
+    out = {"S": S, "U": U}
+    vlm._normalize_S(relative_size=vlm.initial_cell_size,
+                     target_size=np.mean(vlm.initial_cell_size))
+    vlm._normalize_U(relative_size=vlm.initial_Ucell_size,
+                     target_size=np.mean(vlm.initial_Ucell_size))
+    out["S_sz"] = vlm.S_sz
+    out["U_sz"] = vlm.U_sz
+
+    vlm.S_norm = np.log2(vlm.S_sz + 1)
+    vlm.perform_PCA(which="S_norm", n_components=20)
+    out["pca_explained"] = vlm.pca.explained_variance_ratio_[:20]
+
+    vlm.knn_imputation(k=10, balanced=False, n_jobs=1,
+                       metric="euclidean")
+    out["Sx"] = vlm.Sx
+    out["Ux"] = vlm.Ux
+
+    vlm.fit_gammas(limit_gamma=False, fit_offset=True,
+                   use_imputed_data=True, use_size_norm=True,
+                   weighted=True, weights="maxmin_diag")
+    out["gammas"] = vlm.gammas
+    out["q"] = vlm.q
+    out["R2"] = getattr(vlm, "R2", np.zeros(g))
+
+    vlm.predict_U()
+    vlm.calculate_velocity()
+    vlm.calculate_shift(assumption="constant_velocity")
+    vlm.extrapolate_cell_at_t(delta_t=1.)
+    out["Upred"] = vlm.Upred
+    out["velocity"] = vlm.velocity
+    out["delta_S"] = vlm.delta_S
+    out["Sx_sz_t"] = vlm.Sx_sz_t
+
+    vlm.ts = np.ascontiguousarray(vlm.pcs[:, :2])
+    out["ts"] = vlm.ts
+    vlm.estimate_transition_prob(hidim="Sx_sz", embed="ts",
+                                 transform="sqrt", knn_random=False,
+                                 n_neighbors=None, calculate_randomized=False)
+    out["corrcoef"] = vlm.corrcoef
+    vlm.calculate_embedding_shift(sigma_corr=0.05,
+                                  expression_scaling=False)
+    out["transition_prob"] = vlm.transition_prob
+    out["delta_embedding"] = vlm.delta_embedding
+    vlm.calculate_grid_arrows(smooth=0.5, steps=(10, 10), n_neighbors=20)
+    out["flow_grid"] = vlm.flow_grid
+    out["flow"] = vlm.flow
+
+    np.savez_compressed(os.path.join(HERE, "golden.npz"), **out)
+    print("golden.npz written:",
+          {k: np.asarray(v).shape for k, v in out.items()})
+
+
+if __name__ == "__main__":
+    main()

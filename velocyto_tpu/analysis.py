@@ -946,12 +946,23 @@ class VelocytoLoom:
 
         embedding = getattr(self, embed)
         self.embedding = embedding
-        nn_k = min(n_neighbors + 1, embedding.shape[0])
-        _dists, neigh_full = knn_search(embedding, nn_k)
+        # sklearn semantics (reference :1547-1549, :1631-1635): the query
+        # point is NOT its own neighbor, so the graph holds n_neighbors+1
+        # non-self neighbors per row and an empty diagonal
+        N = embedding.shape[0]
+        nn_k = min(n_neighbors + 1, N - 1)
+        _dists, idx = knn_search(embedding, min(nn_k + 1, N))
+        rows = np.arange(N)
+        is_self = idx == rows[:, None]
+        first_self = np.where(is_self.any(1), is_self.argmax(1),
+                              idx.shape[1] - 1)
+        keep = np.ones_like(idx, dtype=bool)
+        keep[rows, first_self] = False
+        neigh_full = idx[keep].reshape(N, idx.shape[1] - 1)[:, :nn_k]
         self.embedding_knn = sparse.csr_matrix(
-            (np.ones(embedding.shape[0] * nn_k), neigh_full.ravel(),
-             np.arange(0, embedding.shape[0] * nn_k + 1, nn_k)),
-            shape=(embedding.shape[0], embedding.shape[0]))
+            (np.ones(N * nn_k), neigh_full.ravel(),
+             np.arange(0, N * nn_k + 1, nn_k)),
+            shape=(N, N))
 
         if knn_random:
             np.random.seed(random_seed)
