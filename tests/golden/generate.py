@@ -24,6 +24,15 @@ from oracles import col_delta_cor_dense, col_delta_cor_partial  # noqa
 
 
 def _install_stubs():
+    # numpy >= 1.24 rejects generators in np.stack (reference :1562)
+    _orig_stack = np.stack
+
+    def _stack(arrays, *a, **k):
+        if not isinstance(arrays, (list, tuple, np.ndarray)):
+            arrays = list(arrays)
+        return _orig_stack(arrays, *a, **k)
+
+    np.stack = _stack
     # scipy >= 1.14 removed the `.A` alias the reference uses
     from scipy import sparse as _sp
     if not hasattr(_sp.csr_matrix, "A"):
@@ -65,8 +74,12 @@ def _install_stubs():
         # reference signatures: (emat, dmat, out[, ixs], threads[, psc])
         if partial:
             def f(e, d, out, ixs, threads, psc=0.0):
-                out[:] = col_delta_cor_partial(e, d, ixs,
-                                               transform=transform, psc=psc)
+                # reference layout: scatter corr into the (N, N) matrix at
+                # the neighbor columns (speedboosted.pyx partial kernels)
+                compact = col_delta_cor_partial(e, d, ixs,
+                                                transform=transform, psc=psc)
+                n = out.shape[0]
+                out[np.arange(n)[:, None], np.asarray(ixs)] = compact
             return f
 
         def f(e, d, out, threads, psc=0.0):
@@ -154,6 +167,25 @@ def main():
     vlm.calculate_grid_arrows(smooth=0.5, steps=(10, 10), n_neighbors=20)
     out["flow_grid"] = vlm.flow_grid
     out["flow"] = vlm.flow
+
+    # expression-scaled shift (full mode)
+    vlm.calculate_embedding_shift(sigma_corr=0.05, expression_scaling=True,
+                                  scaling_penalty=1.)
+    out["delta_embedding_scaled"] = vlm.delta_embedding
+    out["scaling"] = vlm.scaling
+
+    # sampled knn_random mode (the production path): exact RNG parity
+    vlm.estimate_transition_prob(hidim="Sx_sz", embed="ts",
+                                 transform="sqrt", knn_random=True,
+                                 sampled_fraction=0.5,
+                                 calculate_randomized=False)
+    out["knnr_corrcoef"] = vlm.corrcoef
+    out["knnr_sampling_ixs"] = vlm.sampling_ixs
+    out["knnr_embedding_knn"] = vlm.embedding_knn.toarray()
+    vlm.calculate_embedding_shift(sigma_corr=0.05,
+                                  expression_scaling=False)
+    out["knnr_transition_prob"] = vlm.transition_prob
+    out["knnr_delta_embedding"] = vlm.delta_embedding
 
     np.savez_compressed(os.path.join(HERE, "golden.npz"), **out)
     print("golden.npz written:",
