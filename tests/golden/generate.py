@@ -187,6 +187,47 @@ def main():
     out["knnr_transition_prob"] = vlm.transition_prob
     out["knnr_delta_embedding"] = vlm.delta_embedding
 
+    # ---- part 2: filtering / normalization family on a fresh object ----
+    vlm2 = rvcy.VelocytoLoom.__new__(rvcy.VelocytoLoom)
+    vlm2.S = S.copy()
+    vlm2.U = U.copy()
+    vlm2.A = np.zeros_like(S)
+    vlm2.initial_cell_size = vlm2.S.sum(0)
+    vlm2.initial_Ucell_size = vlm2.U.sum(0)
+    vlm2.ca = {"CellID": np.array([f"c{i}" for i in range(n)])}
+    vlm2.ra = {"Gene": np.array([f"g{i}" for i in range(g)])}
+    vlm2.score_detection_levels(min_expr_counts=40, min_cells_express=10,
+                                min_expr_counts_U=0, min_cells_express_U=0)
+    out["detection_level_selected"] = vlm2.detection_level_selected
+    vlm2.score_cv_vs_mean(N=30, min_expr_cells=2, max_expr_avg=35)
+    out["cv_mean_score"] = vlm2.cv_mean_score
+    out["cv_mean_selected"] = vlm2.cv_mean_selected
+    # low-variability gene sets for the Anders-Huber size factor
+    vlm2.score_cv_vs_mean(N=30, min_expr_cells=2, max_expr_avg=35,
+                          sort_inverse=True, which="S")
+    vlm2.score_cv_vs_mean(N=30, min_expr_cells=2, max_expr_avg=35,
+                          sort_inverse=True, which="U")
+    vlm2.robust_size_factor(pc=0.1, which="both")
+    out["size_factor"] = vlm2.size_factor
+    out["Usize_factor"] = vlm2.Usize_factor
+    # re-score the variable genes for the downstream filter
+    vlm2.score_cv_vs_mean(N=30, min_expr_cells=2, max_expr_avg=35)
+    out["cv_mean_score2"] = vlm2.cv_mean_score
+    vlm2.normalize_by_total(min_perc_U=0.5, skip_low_U_pop=True)
+    out["nbt_S_sz"] = vlm2.S_sz
+    out["nbt_U_sz"] = vlm2.U_sz
+    vlm2.filter_genes(by_detection_levels=True, by_cv_vs_mean=True)
+    out["filtered_S"] = vlm2.S
+    out["filtered_genes"] = vlm2.ra["Gene"]
+
+    # markov on the main vlm (full-mode transition probs already set)
+    vlm.prepare_markov(sigma_D=np.std(vlm.ts), sigma_W=0.5 * np.std(vlm.ts),
+                       direction="forward")
+    out["markov_tr"] = np.asarray(vlm.tr.toarray()
+                                  if hasattr(vlm.tr, "toarray") else vlm.tr)
+    vlm.run_markov(n_steps=500)
+    out["markov_diffused"] = vlm.diffused
+
     np.savez_compressed(os.path.join(HERE, "golden.npz"), **out)
     print("golden.npz written:",
           {k: np.asarray(v).shape for k, v in out.items()})
