@@ -470,8 +470,16 @@ class SoaEngine:
                     mol_of_read, pseudo_offset=n))
 
         records = RecordArrays.concatenate(record_parts)
-        actions, genes, codes = assemble_and_classify(records, c.logic,
-                                                      n_mol)
+        import os as _os
+        if _os.environ.get("VELOCYTO_DEVICE_CLASSIFY") == "1":
+            # TPU-resident classification (device_classify.py): sort +
+            # segment reductions compile to one XLA program
+            from .device_classify import assemble_and_classify_device
+            actions, genes, codes = assemble_and_classify_device(
+                records, c.logic, n_mol)
+        else:
+            actions, genes, codes = assemble_and_classify(records, c.logic,
+                                                          n_mol)
         counted = actions != NONE
         for action_code, layer in _LAYER_OF_ACTION.items():
             if layer not in dict_layers_columns:
