@@ -220,6 +220,27 @@ def main():
     out["filtered_S"] = vlm2.S
     out["filtered_genes"] = vlm2.ra["Gene"]
 
+    # balanced kNN imputation (greedy balancing, hub-first order)
+    vlm3 = rvcy.VelocytoLoom.__new__(rvcy.VelocytoLoom)
+    vlm3.S = S.copy()
+    vlm3.U = U.copy()
+    vlm3.A = np.zeros_like(S)
+    vlm3.initial_cell_size = vlm3.S.sum(0)
+    vlm3.initial_Ucell_size = vlm3.U.sum(0)
+    vlm3.ca = {"CellID": np.array([f"c{i}" for i in range(n)])}
+    vlm3.ra = {"Gene": np.array([f"g{i}" for i in range(g)])}
+    vlm3._normalize_S(relative_size=vlm3.initial_cell_size,
+                      target_size=np.mean(vlm3.initial_cell_size))
+    vlm3._normalize_U(relative_size=vlm3.initial_Ucell_size,
+                      target_size=np.mean(vlm3.initial_Ucell_size))
+    vlm3.S_norm = np.log2(vlm3.S_sz + 1)
+    vlm3.perform_PCA(which="S_norm", n_components=20)
+    vlm3.knn_imputation(k=10, balanced=True, b_sight=30, b_maxl=15,
+                        n_jobs=1)
+    out["bal_Sx"] = vlm3.Sx
+    out["bal_Ux"] = vlm3.Ux
+    out["bal_knn"] = vlm3.knn.toarray()
+
     # markov on the main vlm (full-mode transition probs already set)
     vlm.prepare_markov(sigma_D=np.std(vlm.ts), sigma_W=0.5 * np.std(vlm.ts),
                        direction="forward")
