@@ -135,3 +135,48 @@ def test_run_smartseq2_cli(tmp_path):
     assert S.shape[1] == 2
     # every exonic read counts (UMI-less placeholder umis are unique whp)
     assert S.sum() == 180
+
+
+def test_run10x_cli(synthetic_sample, tmp_path):
+    """Fake cellranger sample folder layout end-to-end."""
+    import gzip
+    import os
+    import numpy as np
+    from velocyto_tpu.io import loom as loomio
+
+    bam, gtf, bcfile, cells = synthetic_sample
+    sample = tmp_path / "SAMPLE10X"
+    outs = sample / "outs"
+    (outs / "filtered_feature_bc_matrix").mkdir(parents=True)
+    (sample / "_log").write_text("...\nPipestance completed successfully!\n")
+    import shutil
+    shutil.copy(bam, outs / "possorted_genome_bam.bam")
+    with gzip.open(outs / "filtered_feature_bc_matrix" / "barcodes.tsv.gz",
+                   "wt") as f:
+        f.write(open(bcfile).read())
+    # cellranger analysis extras: tsne + graphclust
+    tsne_dir = outs / "analysis" / "tsne" / "2_components"
+    tsne_dir.mkdir(parents=True)
+    n = len(cells)
+    with open(tsne_dir / "projection.csv", "w") as f:
+        f.write("Barcode,TSNE-1,TSNE-2\n")
+        for i, c in enumerate(cells):
+            f.write(f"{c}-1,{i * 1.0},{-i * 2.0}\n")
+    cl_dir = outs / "analysis" / "clustering" / "graphclust"
+    cl_dir.mkdir(parents=True)
+    with open(cl_dir / "clusters.csv", "w") as f:
+        f.write("Barcode,Cluster\n")
+        for i, c in enumerate(cells):
+            f.write(f"{c}-1,{1 + i % 2}\n")
+
+    from click.testing import CliRunner
+    from velocyto_tpu.commands.run10x import run10x
+    res = CliRunner().invoke(run10x, [str(sample), gtf, "-@", "1"],
+                             catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    out_loom = sample / "velocyto" / "SAMPLE10X.loom"
+    assert out_loom.exists()
+    c = loomio.connect(str(out_loom))
+    assert len(c.ca["CellID"]) == len(cells)
+    assert "_X" in c.ca and "_Y" in c.ca and "Clusters" in c.ca
+    assert c.layers["spliced"][:, :].sum() > 0
