@@ -259,16 +259,23 @@ class SoaEngine:
                 run_starts = np.flatnonzero(change)
                 run_ends = np.append(run_starts[1:], len(rb))
                 for s, e in zip(run_starts, run_ends):
-                    kidx = np.flatnonzero(keep[s:e]) + s
-                    if len(kidx) == 0:
+                    krun = keep[s:e]
+                    n_keep = int(krun.sum())
+                    if n_keep == 0:
                         continue
-                    name = names[kidx[0]]
+                    if n_keep == e - s:       # common case: whole run kept
+                        part = rb.slice(s, e)
+                        name = names[s]
+                    else:
+                        kidx = np.flatnonzero(krun) + s
+                        part = rb.take(kidx)
+                        name = names[kidx[0]]
                     if name not in cur_cells:
                         if len(cur_cells) == cell_batch_size:
                             flush()
                         cur_cells[name] = len(cur_cells)
-                    pend.append(rb.take(kidx))
-                    pend_bcidx.append(np.full(len(kidx), cur_cells[name],
+                    pend.append(part)
+                    pend_bcidx.append(np.full(n_keep, cur_cells[name],
                                               dtype=np.int64))
             reader.close()
             flush()   # file boundary (reference None sentinel)
@@ -364,17 +371,24 @@ class SoaEngine:
                     run_starts = np.flatnonzero(change)
                     run_ends = np.append(run_starts[1:], len(rb))
                     for s, e in zip(run_starts, run_ends):
-                        kidx = np.flatnonzero(keep[s:e]) + s
-                        if len(kidx) == 0:
+                        krun = keep[s:e]
+                        n_keep = int(krun.sum())
+                        if n_keep == 0:
                             continue
-                        name = names[kidx[0]]
+                        if n_keep == e - s:   # common case: whole run kept
+                            part = rb.slice(s, e)
+                            name = names[s]
+                        else:
+                            kidx = np.flatnonzero(krun) + s
+                            part = rb.take(kidx)
+                            name = names[kidx[0]]
                         if name not in cur_cells:
                             if len(cur_cells) == cell_batch_size:
                                 flush()
                             cur_cells[name] = len(cur_cells)
-                        pend.append(rb.take(kidx))
+                        pend.append(part)
                         pend_bcidx.append(np.full(
-                            len(kidx), cur_cells[name], dtype=np.int64))
+                            n_keep, cur_cells[name], dtype=np.int64))
                 reader.close()
                 flush()
             drain(block=True)
@@ -410,25 +424,24 @@ class SoaEngine:
         start = start[order]
         end = end[order]
 
-        # molecule ids
+        # molecule ids: factorize (bc, umi[, chrom:pos-window]) into dense
+        # integer keys (one bytes-unique for umis + one int64 unique,
+        # cheaper than a structured-dtype sort)
         if c.umi_extension == "without_umi":
             # placeholder UMIs: every read is its own molecule
             mol_of_read = np.arange(n, dtype=np.int64)
             mol_bcidx_arr = read_bcidx.astype(np.int64)
             n_mol = n
         else:
+            umi_uniq, umi_inv = np.unique(rb.umi, return_inverse=True)
+            key = read_bcidx * len(umi_uniq) + umi_inv
             if c.umi_extension == "chr":
                 # reference: f"{umi}_{ref_id}:{rec.pos // 10000000}"
                 # (counter.py:200-201); rec.pos is 0-based
                 extra = (rb.chrom_id.astype(np.int64) << 16) | \
                     ((rb.pos - 1) // 10_000_000)
-            else:
-                extra = np.zeros(n, dtype=np.int64)
-            key = np.zeros(n, dtype=[("bc", np.int64), ("umi", rb.umi.dtype),
-                                     ("x", np.int64)])
-            key["bc"] = read_bcidx
-            key["umi"] = rb.umi
-            key["x"] = extra
+                ex_uniq, ex_inv = np.unique(extra, return_inverse=True)
+                key = key * len(ex_uniq) + ex_inv
             _uniq, first, inv = np.unique(key, return_index=True,
                                           return_inverse=True)
             mol_of_read = inv.astype(np.int64)
