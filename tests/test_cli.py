@@ -180,3 +180,24 @@ def test_run10x_cli(synthetic_sample, tmp_path):
     assert len(c.ca["CellID"]) == len(cells)
     assert "_X" in c.ca and "_Y" in c.ca and "Clusters" in c.ca
     assert c.layers["spliced"][:, :].sum() > 0
+
+
+def test_custom_logic_reflection(synthetic_sample, tmp_path, monkeypatch):
+    """Reference extension point: a user Logic subclass resolvable by
+    name from the package namespace (reference _run.py:86-91)."""
+    import velocyto_tpu as vt
+    from velocyto_tpu.counting.logics import Permissive10X
+
+    class MyLogic(Permissive10X):
+        name = "MyLogic"
+
+    monkeypatch.setattr(vt, "MyLogic", MyLogic, raising=False)
+    bam, gtf, bcfile, cells = synthetic_sample
+    from click.testing import CliRunner
+    from velocyto_tpu.commands.run import run
+    out = tmp_path / "outcustom"
+    res = CliRunner().invoke(
+        run, ["-b", bcfile, "-o", str(out), "-e", "CUST", "-l", "MyLogic",
+              "-@", "1", bam, gtf], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert (out / "CUST.loom").exists()

@@ -98,7 +98,14 @@ def _run(*, bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
         os.makedirs(outputfolder, exist_ok=True)
 
     logic_class = LOGICS.get(logic)
-    if logic_class is None or not issubclass(logic_class, Logic):
+    if logic_class is None:
+        # extension point (reference _run.py:86-91 resolves by reflection
+        # on the package namespace, the pattern doc/tutorial/cli.rst
+        # advertises for user-defined Logic subclasses)
+        import velocyto_tpu as _vt
+        logic_class = getattr(_vt, logic, None)
+    if logic_class is None or not (isinstance(logic_class, type) and
+                                   issubclass(logic_class, Logic)):
         raise ValueError(f"{logic} is not a valid logic. Choose one among "
                          f"{', '.join(sorted(LOGICS))}")
     logic_obj = logic_class()

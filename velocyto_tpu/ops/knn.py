@@ -65,34 +65,60 @@ def _knn_search_impl(data: jax.Array, k: int, block: int = 512,
     return dist, idx
 
 
+def _chunked_rescore(x64: np.ndarray, idx: np.ndarray,
+                     rows: int = 256) -> np.ndarray:
+    """Exact f64 squared distances of gathered candidates, row-chunked so
+    the (N, k, D) scratch never exceeds ~rows*k*D floats."""
+    n = idx.shape[0]
+    d2 = np.empty(idx.shape, dtype=np.float64)
+    for lo in range(0, n, rows):
+        hi = min(n, lo + rows)
+        diff = x64[idx[lo:hi]] - x64[lo:hi, None, :]
+        d2[lo:hi] = np.einsum("nkd,nkd->nk", diff, diff)
+    return d2
+
+
 def knn_search(data: np.ndarray, k: int, metric: str = "euclidean",
                block: int = 512) -> Tuple[np.ndarray, np.ndarray]:
     """kNN search (self included as the first neighbor).
 
-    The TPU pass over-fetches candidates with fast f32 matmul distances;
-    the candidates are then re-scored exactly in f64 on the host (O(N*k*D),
-    negligible) so neighbor ordering matches an exact search.
+    Moderate k: TPU blocked-matmul candidate pass (f32) + exact f64
+    host re-score, so ordering matches an exact search.
+    Large k (>~N/3, e.g. balanced-kNN sight windows): `top_k` selection
+    degenerates to O(N*k) on device and the (N, k) transfer dominates,
+    so the exact f64 distance matrix is computed directly on the host -
+    one (N, N) matmul - and argsorted per row.
     """
     n = data.shape[0]
     k = min(k, n)
-    k2 = min(n, k + 8)
-    block = min(block, max(8, n))
-    _dist, idx = _knn_search_impl(jnp.asarray(data, dtype=jnp.float32), k2,
-                                  block, metric)
-    idx = np.asarray(idx, dtype=np.int64)
-    x = np.asarray(data, dtype=np.float64)
+    x64 = np.asarray(data, dtype=np.float64)
     if metric == "correlation":
-        x = x - x.mean(axis=1, keepdims=True)
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    diff = x[idx] - x[:, None, :]                  # (N, k2, D)
-    d2 = np.einsum("nkd,nkd->nk", diff, diff)
-    # lexicographic (distance, index): sort by index first, then stable by d2
-    by_idx = np.argsort(idx, axis=1, kind="stable")
-    idx = np.take_along_axis(idx, by_idx, axis=1)
-    d2 = np.take_along_axis(d2, by_idx, axis=1)
-    order = np.argsort(d2, axis=1, kind="stable")
-    idx = np.take_along_axis(idx, order, axis=1)[:, :k]
-    d2 = np.take_along_axis(d2, order, axis=1)[:, :k]
+        x64 = x64 - x64.mean(axis=1, keepdims=True)
+        x64 = x64 / np.linalg.norm(x64, axis=1, keepdims=True)
+
+    if k > max(1024, n // 3) and n <= 16384:
+        sq = np.einsum("nd,nd->n", x64, x64)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (x64 @ x64.T)
+        np.maximum(d2, 0.0, out=d2)
+        # stable argsort over the natural index order == (distance, index)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        d2 = np.take_along_axis(d2, order, axis=1)
+        idx = order
+    else:
+        k2 = min(n, k + 8)
+        block = min(block, max(8, n))
+        _dist, idx = _knn_search_impl(jnp.asarray(data, dtype=jnp.float32),
+                                      k2, block, metric)
+        idx = np.asarray(idx, dtype=np.int64)
+        d2 = _chunked_rescore(x64, idx)
+        # lexicographic (distance, index): sort by index first, then
+        # stable by d2
+        by_idx = np.argsort(idx, axis=1, kind="stable")
+        idx = np.take_along_axis(idx, by_idx, axis=1)
+        d2 = np.take_along_axis(d2, by_idx, axis=1)
+        order = np.argsort(d2, axis=1, kind="stable")
+        idx = np.take_along_axis(idx, order, axis=1)[:, :k]
+        d2 = np.take_along_axis(d2, order, axis=1)[:, :k]
     if metric == "correlation":
         dist = d2 / 2.0                            # 1 - corr
     else:
@@ -133,8 +159,11 @@ def _knn_query_impl(data: np.ndarray, query: np.ndarray, k: int
     idx = np.asarray(idx, dtype=np.int64)
     x = np.asarray(data, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
-    diff = x[idx] - q[:, None, :]
-    d2 = np.einsum("nkd,nkd->nk", diff, diff)
+    d2 = np.empty(idx.shape, dtype=np.float64)
+    for lo in range(0, len(q), 256):
+        hi = min(len(q), lo + 256)
+        diff = x[idx[lo:hi]] - q[lo:hi, None, :]
+        d2[lo:hi] = np.einsum("nkd,nkd->nk", diff, diff)
     by_idx = np.argsort(idx, axis=1, kind="stable")
     idx = np.take_along_axis(idx, by_idx, axis=1)
     d2 = np.take_along_axis(d2, by_idx, axis=1)

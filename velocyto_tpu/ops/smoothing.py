@@ -45,10 +45,11 @@ def csr_to_compact(w: sparse.spmatrix) -> Tuple[np.ndarray, np.ndarray]:
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def _convolve_compact_impl(data_rows: jax.Array, nbr_idx: jax.Array,
-                           nbr_w: jax.Array, block: int = 256) -> jax.Array:
+                           nbr_w: jax.Array, block: int = 32) -> jax.Array:
     """out[i] = sum_k w[i,k] * data_rows[idx[i,k]].
 
     data_rows: (N, G); nbr_idx/nbr_w: (N, K).  Returns (N, G).
+    Scratch is bounded to (block, K, G).
     """
     n, g = data_rows.shape
     kk = nbr_idx.shape[1]
@@ -66,6 +67,19 @@ def _convolve_compact_impl(data_rows: jax.Array, nbr_idx: jax.Array,
     return out.reshape(n_pad, g)[:n]
 
 
+@jax.jit
+def _convolve_dense_impl(data_rows: jax.Array, w_dense: jax.Array
+                         ) -> jax.Array:
+    return w_dense @ data_rows
+
+
+# Below this many cells, a dense (N, N) weight matmul beats the gather
+# path outright: it rides the MXU as one dot (the weight matrix is tiny
+# relative to MXU throughput), while a K-wide gather materializes
+# (block, K, G) scratch and lowers to slow dynamic-gathers.
+_DENSE_N_MAX = 8192
+
+
 def convolve_by_sparse_weights(data: np.ndarray, w: sparse.spmatrix) -> np.ndarray:
     """data (genes, cells) smoothed with weights w so that
     out[:, i] = sum_j w[i, j] data[:, j]  (reference expects w.T applied on
@@ -76,10 +90,16 @@ def convolve_by_sparse_weights(data: np.ndarray, w: sparse.spmatrix) -> np.ndarr
     colsums = np.array(w_.sum(0)).ravel()
     assert np.allclose(colsums, 1), \
         "weight matrix need to sum to one over the columns"
-    idx, wgt = csr_to_compact(sparse.csr_matrix(w))
-    out_rows = _convolve_compact_impl(
-        jnp.array(np.ascontiguousarray(data.T), dtype=jnp.float32),
-        jnp.array(idx), jnp.array(wgt))
+    data_rows = jnp.array(np.ascontiguousarray(data.T), dtype=jnp.float32)
+    n = data.shape[1]
+    if n <= _DENSE_N_MAX:
+        w_dense = jnp.array(sparse.csr_matrix(w).toarray(),
+                            dtype=jnp.float32)
+        out_rows = _convolve_dense_impl(data_rows, w_dense)
+    else:
+        idx, wgt = csr_to_compact(sparse.csr_matrix(w))
+        out_rows = _convolve_compact_impl(data_rows, jnp.array(idx),
+                                          jnp.array(wgt))
     return np.array(out_rows, dtype=np.float64).T
 
 
