@@ -274,3 +274,33 @@ def test_pcount_matches_count(tmp_path, annotation):
         np.testing.assert_array_equal(m1, np.concatenate(d2[layer], axis=1))
         total += int(m1.sum())
     assert total > 0
+
+
+def test_fastpath_matches_object_umi_gene(tmp_path, annotation):
+    """Gene umi extension: the GX tag joins the molecule key."""
+    gtf, genes = annotation
+    rng = np.random.RandomState(11)
+    bcs = [f"C{c:03d}" for c in range(8)]
+    recs = []
+    for n in range(500):
+        bc = bcs[rng.randint(8)]
+        umi = f"U{rng.randint(60):03d}"     # heavy umi collisions
+        chrom, strand, exons = genes[rng.randint(len(genes))]
+        ei = rng.randint(len(exons))
+        s0, e0 = exons[ei]
+        start = s0 if e0 - s0 < 110 else rng.randint(s0, e0 - 100)
+        tags = {"CB": bc, "UB": umi, "NH": 1}
+        if rng.rand() < 0.7:                # GX sometimes present
+            tags["GX"] = f"G{rng.randint(12)}"
+        recs.append(bamio.BamRecord(f"r{n}", 0 if strand == "+" else 16,
+                                    0 if chrom == "1" else 1, start,
+                                    [(0, 98)], tags))
+    recs.sort(key=lambda r: (r.ref_id, r.pos))
+    bam = str(tmp_path / "gx.bam")
+    bamio.write_bam(bam, [("1", 200000), ("2", 200000)], recs)
+    cs = _cellsort(tmp_path, bam)
+    args = dict(sampleid="s", logic=LOGICS["Permissive10X"],
+                valid_bcset=set(bcs), umi_extension="Gene")
+    fast = _run_two_pass(args, gtf, cs, bam)
+    obj = _run_two_pass(args, gtf, cs, bam, force_object=True)
+    _assert_equal_runs(fast, obj)

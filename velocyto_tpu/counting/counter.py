@@ -253,11 +253,11 @@ class ExInCounter:
 
     def _fastpath_ok(self) -> bool:
         """The SoA engine covers every mode except --dump reports (which
-        need the per-molecule object graph) and the Gene/Nbp umi
-        extensions (which need aux tags / read sequence the batched
-        decoder does not export yet)."""
+        need the per-molecule object graph) and the Nbp umi extension
+        (which needs read sequence the batched decoder does not
+        export)."""
         return (not self.dump_writer.active and
-                self.umi_extension in ("no", "chr", "without_umi"))
+                self.umi_extension in ("no", "chr", "Gene", "without_umi"))
 
     def _soa_engine(self):
         if getattr(self, "_soa", None) is None:

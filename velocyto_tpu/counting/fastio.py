@@ -45,6 +45,8 @@ class ReadBatch:
     ok: np.ndarray         # (n,) uint8
     bc: np.ndarray         # (n,) S{BC_BYTES} raw barcode tag ("" if absent)
     umi: np.ndarray        # (n,) S{BC_BYTES} raw umi tag ("" if absent)
+    aux: np.ndarray        # (n,) S{BC_BYTES} aux tag (GX for Gene umi
+                           # extension; "" when no aux tag requested)
 
     def __len__(self) -> int:
         return len(self.pos)
@@ -60,7 +62,7 @@ class ReadBatch:
         return ReadBatch(*(np.concatenate([getattr(p, f) for p in parts])
                            for f in ("chrom_id", "strand", "pos", "n_segs",
                                      "seg_start", "seg_end", "clip5", "clip3",
-                                     "ref_skip", "ok", "bc", "umi")))
+                                     "ref_skip", "ok", "bc", "umi", "aux")))
 
     def slice(self, lo: int, hi: int) -> "ReadBatch":
         return ReadBatch(self.chrom_id[lo:hi], self.strand[lo:hi],
@@ -68,7 +70,7 @@ class ReadBatch:
                          self.seg_start[lo:hi], self.seg_end[lo:hi],
                          self.clip5[lo:hi], self.clip3[lo:hi],
                          self.ref_skip[lo:hi], self.ok[lo:hi],
-                         self.bc[lo:hi], self.umi[lo:hi])
+                         self.bc[lo:hi], self.umi[lo:hi], self.aux[lo:hi])
 
     def take(self, idx: np.ndarray) -> "ReadBatch":
         """Gather rows by index array or boolean mask."""
@@ -77,14 +79,14 @@ class ReadBatch:
                          self.seg_start[idx], self.seg_end[idx],
                          self.clip5[idx], self.clip3[idx],
                          self.ref_skip[idx], self.ok[idx],
-                         self.bc[idx], self.umi[idx])
+                         self.bc[idx], self.umi[idx], self.aux[idx])
 
 
 class NativeBamReader:
     """Streaming SoA reader over libvtpu's BGZF/BAM decoder."""
 
     def __init__(self, path: str, bc_tag: str, umi_tag: str,
-                 require_unique: bool) -> None:
+                 require_unique: bool, aux_tag: str = "") -> None:
         lib = native._load()
         if lib is None:
             raise RuntimeError("libvtpu not available")
@@ -97,6 +99,7 @@ class NativeBamReader:
                            for i in range(n)]
         self._bc_tag = bc_tag.encode()[:2]
         self._umi_tag = umi_tag.encode()[:2]
+        self._aux_tag = aux_tag.encode()[:2]
         self._unique = int(require_unique)
 
     def read_batch(self, max_reads: int = 1 << 18) -> Optional[ReadBatch]:
@@ -108,7 +111,8 @@ class NativeBamReader:
             seg_end=np.empty((n, MAX_SEGS), np.int64),
             clip5=np.empty(n, np.int32), clip3=np.empty(n, np.int32),
             ref_skip=np.empty(n, np.uint8), ok=np.empty(n, np.uint8),
-            bc=np.empty(n, f"S{BC_BYTES}"), umi=np.empty(n, f"S{BC_BYTES}"))
+            bc=np.empty(n, f"S{BC_BYTES}"), umi=np.empty(n, f"S{BC_BYTES}"),
+            aux=np.zeros(n, f"S{BC_BYTES}"))
         from ctypes import POINTER, c_int32, c_int64, c_uint8, c_char_p
 
         def p(arr, ct):
@@ -121,7 +125,10 @@ class NativeBamReader:
             p(b.seg_end, c_int64), p(b.clip5, c_int32), p(b.clip3, c_int32),
             p(b.ref_skip, c_uint8), p(b.ok, c_uint8),
             ctypes.cast(b.bc.ctypes.data, c_char_p),
-            ctypes.cast(b.umi.ctypes.data, c_char_p), self._unique)
+            ctypes.cast(b.umi.ctypes.data, c_char_p), self._unique,
+            self._aux_tag,
+            ctypes.cast(b.aux.ctypes.data, c_char_p)
+            if self._aux_tag else None)
         if got < 0:
             raise IOError("corrupt BAM stream (native decoder)")
         if got == 0:
@@ -145,12 +152,13 @@ class PythonBamReader:
     NativeBamReader (fallback + differential-test oracle)."""
 
     def __init__(self, path: str, bc_tag: str, umi_tag: str,
-                 require_unique: bool) -> None:
+                 require_unique: bool, aux_tag: str = "") -> None:
         self._reader = bamio.BamReader(path)
         self.references = list(self._reader.references)
         self._it = iter(self._reader)
         self._bc_tag = bc_tag
         self._umi_tag = umi_tag
+        self._aux_tag = aux_tag
         self._unique = require_unique
 
     def read_batch(self, max_reads: int = 1 << 18) -> Optional[ReadBatch]:
@@ -162,7 +170,8 @@ class PythonBamReader:
             seg_end=np.zeros((n, MAX_SEGS), np.int64),
             clip5=np.zeros(n, np.int32), clip3=np.zeros(n, np.int32),
             ref_skip=np.zeros(n, np.uint8), ok=np.zeros(n, np.uint8),
-            bc=np.zeros(n, f"S{BC_BYTES}"), umi=np.zeros(n, f"S{BC_BYTES}"))
+            bc=np.zeros(n, f"S{BC_BYTES}"), umi=np.zeros(n, f"S{BC_BYTES}"),
+            aux=np.zeros(n, f"S{BC_BYTES}"))
         i = 0
         for rec in self._it:
             b.chrom_id[i] = rec.ref_id
@@ -186,6 +195,9 @@ class PythonBamReader:
                     b.umi[i] = rec.tags.get(self._umi_tag, "").encode() \
                         if isinstance(rec.tags.get(self._umi_tag, ""), str) \
                         else b""
+                    if self._aux_tag:
+                        av = rec.tags.get(self._aux_tag, "")
+                        b.aux[i] = av.encode() if isinstance(av, str) else b""
                     b.ok[i] = 1
             i += 1
             if i >= n:
@@ -199,11 +211,12 @@ class PythonBamReader:
 
 
 def open_soa_reader(path: str, bc_tag: str, umi_tag: str,
-                    require_unique: bool):
+                    require_unique: bool, aux_tag: str = ""):
     """Native SoA reader when libvtpu is available, else the Python one."""
     if native.available():
-        return NativeBamReader(path, bc_tag, umi_tag, require_unique)
-    return PythonBamReader(path, bc_tag, umi_tag, require_unique)
+        return NativeBamReader(path, bc_tag, umi_tag, require_unique,
+                               aux_tag)
+    return PythonBamReader(path, bc_tag, umi_tag, require_unique, aux_tag)
 
 
 def soa_batches(path: str, bc_tag: str, umi_tag: str, require_unique: bool,

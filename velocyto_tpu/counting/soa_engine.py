@@ -162,8 +162,10 @@ class SoaEngine:
     def mark_up_introns(self, bamfiles: Iterable[str], multimap: bool) -> None:
         c = self.c
         for bamfile in bamfiles:
-            reader = open_soa_reader(str(bamfile), c.cellbarcode_str,
-                                     c.umibarcode_str, not multimap)
+            reader = open_soa_reader(
+                str(bamfile), c.cellbarcode_str, c.umibarcode_str,
+                not multimap,
+                aux_tag="GX" if c.umi_extension == "Gene" else "")
             gmap = self._global_chrom_map(reader.references)
             seen: set = set()
             cur = [-1]
@@ -231,8 +233,10 @@ class SoaEngine:
 
         for bamfile in bamfiles:
             label = os.path.basename(bamfile) if use_basename else str(bamfile)
-            reader = open_soa_reader(str(bamfile), c.cellbarcode_str,
-                                     c.umibarcode_str, not multimap)
+            reader = open_soa_reader(
+                str(bamfile), c.cellbarcode_str, c.umibarcode_str,
+                not multimap,
+                aux_tag="GX" if c.umi_extension == "Gene" else "")
             gmap = self._global_chrom_map(reader.references)
             while True:
                 rb = reader.read_batch()
@@ -252,7 +256,7 @@ class SoaEngine:
                 rb = ReadBatch(gmap[rb.chrom_id].astype(np.int32), rb.strand,
                                rb.pos, rb.n_segs, rb.seg_start, rb.seg_end,
                                rb.clip5, rb.clip3, rb.ref_skip, rb.ok,
-                               rb.bc, rb.umi)
+                               rb.bc, rb.umi, rb.aux)
                 # cell-contiguous runs (the stream is cell-sorted)
                 change = np.ones(len(rb), dtype=bool)
                 change[1:] = rb.bc[1:] != rb.bc[:-1]
@@ -344,8 +348,10 @@ class SoaEngine:
             for bamfile in bamfiles:
                 label = os.path.basename(bamfile) if use_basename \
                     else str(bamfile)
-                reader = open_soa_reader(str(bamfile), c.cellbarcode_str,
-                                         c.umibarcode_str, not multimap)
+                reader = open_soa_reader(
+                    str(bamfile), c.cellbarcode_str, c.umibarcode_str,
+                    not multimap,
+                    aux_tag="GX" if c.umi_extension == "Gene" else "")
                 gmap = self._global_chrom_map(reader.references)
                 while True:
                     rb = reader.read_batch()
@@ -365,7 +371,7 @@ class SoaEngine:
                                    rb.strand, rb.pos, rb.n_segs,
                                    rb.seg_start, rb.seg_end, rb.clip5,
                                    rb.clip3, rb.ref_skip, rb.ok,
-                                   rb.bc, rb.umi)
+                                   rb.bc, rb.umi, rb.aux)
                     change = np.ones(len(rb), dtype=bool)
                     change[1:] = rb.bc[1:] != rb.bc[:-1]
                     run_starts = np.flatnonzero(change)
@@ -435,6 +441,11 @@ class SoaEngine:
         else:
             umi_uniq, umi_inv = np.unique(rb.umi, return_inverse=True)
             key = read_bcidx * len(umi_uniq) + umi_inv
+            if c.umi_extension == "Gene":
+                # reference: f"{umi}_{GX}" / "{umi}_withoutGX"
+                # (counter.py:202-204); missing GX = its own class
+                gx_uniq, gx_inv = np.unique(rb.aux, return_inverse=True)
+                key = key * len(gx_uniq) + gx_inv
             if c.umi_extension == "chr":
                 # reference: f"{umi}_{ref_id}:{rec.pos // 10000000}"
                 # (counter.py:200-201); rec.pos is 0-based

@@ -245,7 +245,8 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
                             int32_t* n_segs, int64_t* seg_start,
                             int64_t* seg_end, int32_t* clip5, int32_t* clip3,
                             uint8_t* ref_skip, uint8_t* flags_ok,
-                            char* bc_buf, char* umi_buf, int require_unique) {
+                            char* bc_buf, char* umi_buf, int require_unique,
+                            const char* aux_tag, char* aux_buf) {
     BamHandle* h = (BamHandle*)vh;
     int64_t count = 0;
     std::vector<uint8_t> rec;
@@ -275,6 +276,7 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
         n_segs[i] = 0;
         memset(bc_buf + i * 32, 0, 32);
         memset(umi_buf + i * 32, 0, 32);
+        if (aux_buf) memset(aux_buf + i * 32, 0, 32);
         flags_ok[i] = 0;
 
         if (flag & 0x4) continue;  // unmapped
@@ -363,6 +365,15 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
             size_t L = strnlen(v, 31);
             memcpy(umi_buf + i * 32, v, L);
             umi_buf[i * 32 + L] = 0;
+        }
+        if (aux_buf && aux_tag && aux_tag[0]) {
+            const uint8_t* axt = find_tag(aux, end, aux_tag);
+            if (axt && *axt == 'Z') {
+                const char* v = (const char*)(axt + 1);
+                size_t L = strnlen(v, 31);
+                memcpy(aux_buf + i * 32, v, L);
+                aux_buf[i * 32 + L] = 0;
+            }
         }
         flags_ok[i] = 1;
     }
