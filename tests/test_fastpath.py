@@ -304,3 +304,33 @@ def test_fastpath_matches_object_umi_gene(tmp_path, annotation):
     fast = _run_two_pass(args, gtf, cs, bam)
     obj = _run_two_pass(args, gtf, cs, bam, force_object=True)
     _assert_equal_runs(fast, obj)
+
+
+def test_fastpath_matches_object_umi_nbp(tmp_path, annotation):
+    """[N]bp umi extension: the read-sequence prefix joins the key."""
+    gtf, genes = annotation
+    rng = np.random.RandomState(13)
+    bcs = [f"C{c:03d}" for c in range(6)]
+    recs = []
+    for n in range(400):
+        bc = bcs[rng.randint(6)]
+        umi = f"U{rng.randint(40):02d}"     # heavy collisions
+        chrom, strand, exons = genes[rng.randint(len(genes))]
+        ei = rng.randint(len(exons))
+        s0, e0 = exons[ei]
+        start = s0 if e0 - s0 < 110 else rng.randint(s0, e0 - 100)
+        seq = "".join(rng.choice(list("ACGT"), 98))
+        recs.append(bamio.BamRecord(f"r{n}", 0 if strand == "+" else 16,
+                                    0 if chrom == "1" else 1, start,
+                                    [(0, 98)],
+                                    {"CB": bc, "UB": umi, "NH": 1},
+                                    seq=seq))
+    recs.sort(key=lambda r: (r.ref_id, r.pos))
+    bam = str(tmp_path / "nbp.bam")
+    bamio.write_bam(bam, [("1", 200000), ("2", 200000)], recs)
+    cs = _cellsort(tmp_path, bam)
+    args = dict(sampleid="s", logic=LOGICS["Permissive10X"],
+                valid_bcset=set(bcs), umi_extension="4bp")
+    fast = _run_two_pass(args, gtf, cs, bam)
+    obj = _run_two_pass(args, gtf, cs, bam, force_object=True)
+    _assert_equal_runs(fast, obj)

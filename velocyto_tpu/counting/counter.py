@@ -252,12 +252,10 @@ class ExInCounter:
     # ------------------------------------------------------------------
 
     def _fastpath_ok(self) -> bool:
-        """The SoA engine covers every mode except --dump reports (which
-        need the per-molecule object graph) and the Nbp umi extension
-        (which needs read sequence the batched decoder does not
-        export)."""
-        return (not self.dump_writer.active and
-                self.umi_extension in ("no", "chr", "Gene", "without_umi"))
+        """The SoA engine covers every umi-extension mode; only --dump
+        reports fall back to object mode (they need the per-molecule
+        object graph)."""
+        return not self.dump_writer.active
 
     def _soa_engine(self):
         if getattr(self, "_soa", None) is None:

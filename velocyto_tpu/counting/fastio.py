@@ -47,6 +47,8 @@ class ReadBatch:
     umi: np.ndarray        # (n,) S{BC_BYTES} raw umi tag ("" if absent)
     aux: np.ndarray        # (n,) S{BC_BYTES} aux tag (GX for Gene umi
                            # extension; "" when no aux tag requested)
+    seq: np.ndarray        # (n,) S{BC_BYTES} first seq bases (Nbp umi
+                           # extension; "" when not requested)
 
     def __len__(self) -> int:
         return len(self.pos)
@@ -62,7 +64,8 @@ class ReadBatch:
         return ReadBatch(*(np.concatenate([getattr(p, f) for p in parts])
                            for f in ("chrom_id", "strand", "pos", "n_segs",
                                      "seg_start", "seg_end", "clip5", "clip3",
-                                     "ref_skip", "ok", "bc", "umi", "aux")))
+                                     "ref_skip", "ok", "bc", "umi", "aux",
+                                     "seq")))
 
     def slice(self, lo: int, hi: int) -> "ReadBatch":
         return ReadBatch(self.chrom_id[lo:hi], self.strand[lo:hi],
@@ -70,7 +73,8 @@ class ReadBatch:
                          self.seg_start[lo:hi], self.seg_end[lo:hi],
                          self.clip5[lo:hi], self.clip3[lo:hi],
                          self.ref_skip[lo:hi], self.ok[lo:hi],
-                         self.bc[lo:hi], self.umi[lo:hi], self.aux[lo:hi])
+                         self.bc[lo:hi], self.umi[lo:hi], self.aux[lo:hi],
+                         self.seq[lo:hi])
 
     def take(self, idx: np.ndarray) -> "ReadBatch":
         """Gather rows by index array or boolean mask."""
@@ -79,14 +83,16 @@ class ReadBatch:
                          self.seg_start[idx], self.seg_end[idx],
                          self.clip5[idx], self.clip3[idx],
                          self.ref_skip[idx], self.ok[idx],
-                         self.bc[idx], self.umi[idx], self.aux[idx])
+                         self.bc[idx], self.umi[idx], self.aux[idx],
+                         self.seq[idx])
 
 
 class NativeBamReader:
     """Streaming SoA reader over libvtpu's BGZF/BAM decoder."""
 
     def __init__(self, path: str, bc_tag: str, umi_tag: str,
-                 require_unique: bool, aux_tag: str = "") -> None:
+                 require_unique: bool, aux_tag: str = "",
+                 seq_prefix: int = 0) -> None:
         lib = native._load()
         if lib is None:
             raise RuntimeError("libvtpu not available")
@@ -100,6 +106,7 @@ class NativeBamReader:
         self._bc_tag = bc_tag.encode()[:2]
         self._umi_tag = umi_tag.encode()[:2]
         self._aux_tag = aux_tag.encode()[:2]
+        self._seq_prefix = int(seq_prefix)
         self._unique = int(require_unique)
 
     def read_batch(self, max_reads: int = 1 << 18) -> Optional[ReadBatch]:
@@ -112,7 +119,8 @@ class NativeBamReader:
             clip5=np.empty(n, np.int32), clip3=np.empty(n, np.int32),
             ref_skip=np.empty(n, np.uint8), ok=np.empty(n, np.uint8),
             bc=np.empty(n, f"S{BC_BYTES}"), umi=np.empty(n, f"S{BC_BYTES}"),
-            aux=np.zeros(n, f"S{BC_BYTES}"))
+            aux=np.zeros(n, f"S{BC_BYTES}"),
+            seq=np.zeros(n, f"S{BC_BYTES}"))
         from ctypes import POINTER, c_int32, c_int64, c_uint8, c_char_p
 
         def p(arr, ct):
@@ -128,7 +136,10 @@ class NativeBamReader:
             ctypes.cast(b.umi.ctypes.data, c_char_p), self._unique,
             self._aux_tag,
             ctypes.cast(b.aux.ctypes.data, c_char_p)
-            if self._aux_tag else None)
+            if self._aux_tag else None,
+            self._seq_prefix,
+            ctypes.cast(b.seq.ctypes.data, c_char_p)
+            if self._seq_prefix else None)
         if got < 0:
             raise IOError("corrupt BAM stream (native decoder)")
         if got == 0:
@@ -152,13 +163,15 @@ class PythonBamReader:
     NativeBamReader (fallback + differential-test oracle)."""
 
     def __init__(self, path: str, bc_tag: str, umi_tag: str,
-                 require_unique: bool, aux_tag: str = "") -> None:
+                 require_unique: bool, aux_tag: str = "",
+                 seq_prefix: int = 0) -> None:
         self._reader = bamio.BamReader(path)
         self.references = list(self._reader.references)
         self._it = iter(self._reader)
         self._bc_tag = bc_tag
         self._umi_tag = umi_tag
         self._aux_tag = aux_tag
+        self._seq_prefix = int(seq_prefix)
         self._unique = require_unique
 
     def read_batch(self, max_reads: int = 1 << 18) -> Optional[ReadBatch]:
@@ -171,7 +184,8 @@ class PythonBamReader:
             clip5=np.zeros(n, np.int32), clip3=np.zeros(n, np.int32),
             ref_skip=np.zeros(n, np.uint8), ok=np.zeros(n, np.uint8),
             bc=np.zeros(n, f"S{BC_BYTES}"), umi=np.zeros(n, f"S{BC_BYTES}"),
-            aux=np.zeros(n, f"S{BC_BYTES}"))
+            aux=np.zeros(n, f"S{BC_BYTES}"),
+            seq=np.zeros(n, f"S{BC_BYTES}"))
         i = 0
         for rec in self._it:
             b.chrom_id[i] = rec.ref_id
@@ -198,6 +212,9 @@ class PythonBamReader:
                     if self._aux_tag:
                         av = rec.tags.get(self._aux_tag, "")
                         b.aux[i] = av.encode() if isinstance(av, str) else b""
+                    if self._seq_prefix:
+                        b.seq[i] = rec.seq[:min(self._seq_prefix, 31)] \
+                            .encode()
                     b.ok[i] = 1
             i += 1
             if i >= n:
@@ -211,12 +228,14 @@ class PythonBamReader:
 
 
 def open_soa_reader(path: str, bc_tag: str, umi_tag: str,
-                    require_unique: bool, aux_tag: str = ""):
+                    require_unique: bool, aux_tag: str = "",
+                    seq_prefix: int = 0):
     """Native SoA reader when libvtpu is available, else the Python one."""
     if native.available():
         return NativeBamReader(path, bc_tag, umi_tag, require_unique,
-                               aux_tag)
-    return PythonBamReader(path, bc_tag, umi_tag, require_unique, aux_tag)
+                               aux_tag, seq_prefix)
+    return PythonBamReader(path, bc_tag, umi_tag, require_unique, aux_tag,
+                           seq_prefix)
 
 
 def soa_batches(path: str, bc_tag: str, umi_tag: str, require_unique: bool,

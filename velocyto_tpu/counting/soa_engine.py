@@ -165,7 +165,8 @@ class SoaEngine:
             reader = open_soa_reader(
                 str(bamfile), c.cellbarcode_str, c.umibarcode_str,
                 not multimap,
-                aux_tag="GX" if c.umi_extension == "Gene" else "")
+                aux_tag="GX" if c.umi_extension == "Gene" else "",
+                seq_prefix=(c.umi_bp if c.umi_extension == "Nbp" else 0))
             gmap = self._global_chrom_map(reader.references)
             seen: set = set()
             cur = [-1]
@@ -236,7 +237,8 @@ class SoaEngine:
             reader = open_soa_reader(
                 str(bamfile), c.cellbarcode_str, c.umibarcode_str,
                 not multimap,
-                aux_tag="GX" if c.umi_extension == "Gene" else "")
+                aux_tag="GX" if c.umi_extension == "Gene" else "",
+                seq_prefix=(c.umi_bp if c.umi_extension == "Nbp" else 0))
             gmap = self._global_chrom_map(reader.references)
             while True:
                 rb = reader.read_batch()
@@ -253,10 +255,9 @@ class SoaEngine:
                     bc_keep, names = self._strip_bcs(rb)
                 keep &= bc_keep
                 # remap chromosomes to the global table before accumulating
-                rb = ReadBatch(gmap[rb.chrom_id].astype(np.int32), rb.strand,
-                               rb.pos, rb.n_segs, rb.seg_start, rb.seg_end,
-                               rb.clip5, rb.clip3, rb.ref_skip, rb.ok,
-                               rb.bc, rb.umi, rb.aux)
+                import dataclasses
+                rb = dataclasses.replace(
+                    rb, chrom_id=gmap[rb.chrom_id].astype(np.int32))
                 # cell-contiguous runs (the stream is cell-sorted)
                 change = np.ones(len(rb), dtype=bool)
                 change[1:] = rb.bc[1:] != rb.bc[:-1]
@@ -351,7 +352,9 @@ class SoaEngine:
                 reader = open_soa_reader(
                     str(bamfile), c.cellbarcode_str, c.umibarcode_str,
                     not multimap,
-                    aux_tag="GX" if c.umi_extension == "Gene" else "")
+                    aux_tag="GX" if c.umi_extension == "Gene" else "",
+                    seq_prefix=(c.umi_bp if c.umi_extension == "Nbp"
+                                else 0))
                 gmap = self._global_chrom_map(reader.references)
                 while True:
                     rb = reader.read_batch()
@@ -367,11 +370,9 @@ class SoaEngine:
                     else:
                         bc_keep, names = self._strip_bcs(rb)
                     keep &= bc_keep
-                    rb = ReadBatch(gmap[rb.chrom_id].astype(np.int32),
-                                   rb.strand, rb.pos, rb.n_segs,
-                                   rb.seg_start, rb.seg_end, rb.clip5,
-                                   rb.clip3, rb.ref_skip, rb.ok,
-                                   rb.bc, rb.umi, rb.aux)
+                    import dataclasses
+                    rb = dataclasses.replace(
+                        rb, chrom_id=gmap[rb.chrom_id].astype(np.int32))
                     change = np.ones(len(rb), dtype=bool)
                     change[1:] = rb.bc[1:] != rb.bc[:-1]
                     run_starts = np.flatnonzero(change)
@@ -441,6 +442,10 @@ class SoaEngine:
         else:
             umi_uniq, umi_inv = np.unique(rb.umi, return_inverse=True)
             key = read_bcidx * len(umi_uniq) + umi_inv
+            if c.umi_extension == "Nbp":
+                # reference: umi + rec.seq[:N] (counter.py:205-206)
+                sq_uniq, sq_inv = np.unique(rb.seq, return_inverse=True)
+                key = key * len(sq_uniq) + sq_inv
             if c.umi_extension == "Gene":
                 # reference: f"{umi}_{GX}" / "{umi}_withoutGX"
                 # (counter.py:202-204); missing GX = its own class

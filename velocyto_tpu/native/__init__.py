@@ -93,6 +93,8 @@ def _configure(lib) -> None:
         c_int,              # require_unique (NH==1)
         c_char_p,           # aux tag (2 chars) or b""
         c_char_p,           # out aux buffer (n * 32) or None
+        c_int32,            # seq prefix length to decode (0 = none)
+        c_char_p,           # out seq buffer (n * 32) or None
     ]
     lib.vtpu_bam_sort_by_tag.restype = c_int64
     lib.vtpu_bam_sort_by_tag.argtypes = [

@@ -246,7 +246,8 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
                             int64_t* seg_end, int32_t* clip5, int32_t* clip3,
                             uint8_t* ref_skip, uint8_t* flags_ok,
                             char* bc_buf, char* umi_buf, int require_unique,
-                            const char* aux_tag, char* aux_buf) {
+                            const char* aux_tag, char* aux_buf,
+                            int32_t seq_prefix, char* seq_buf) {
     BamHandle* h = (BamHandle*)vh;
     int64_t count = 0;
     std::vector<uint8_t> rec;
@@ -277,6 +278,7 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
         memset(bc_buf + i * 32, 0, 32);
         memset(umi_buf + i * 32, 0, 32);
         if (aux_buf) memset(aux_buf + i * 32, 0, 32);
+        if (seq_buf) memset(seq_buf + i * 32, 0, 32);
         flags_ok[i] = 0;
 
         if (flag & 0x4) continue;  // unmapped
@@ -365,6 +367,17 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
             size_t L = strnlen(v, 31);
             memcpy(umi_buf + i * 32, v, L);
             umi_buf[i * 32 + L] = 0;
+        }
+        if (seq_buf && seq_prefix > 0) {
+            // first seq_prefix bases of the 4-bit packed sequence
+            static const char NT[17] = "=ACMGRSVTWYHKDBN";
+            int32_t L = l_seq < seq_prefix ? l_seq : seq_prefix;
+            if (L > 31) L = 31;
+            for (int32_t s = 0; s < L; ++s) {
+                uint8_t byte = seq[s / 2];
+                seq_buf[i * 32 + s] =
+                    NT[(s % 2 == 0) ? (byte >> 4) : (byte & 0xF)];
+            }
         }
         if (aux_buf && aux_tag && aux_tag[0]) {
             const uint8_t* axt = find_tag(aux, end, aux_tag);
