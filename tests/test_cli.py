@@ -201,3 +201,29 @@ def test_custom_logic_reflection(synthetic_sample, tmp_path, monkeypatch):
               "-@", "1", bam, gtf], catch_exceptions=False)
     assert res.exit_code == 0, res.output
     assert (out / "CUST.loom").exists()
+
+
+def test_run_dropest_cli(synthetic_sample, tmp_path):
+    """DropEst wrapper: barcode auto-discovery + forced chr umi extension."""
+    import shutil
+    from velocyto_tpu.io import loom as loomio
+    bam, gtf, bcfile, cells = synthetic_sample
+    work = tmp_path / "dropest"
+    work.mkdir()
+    dbam = work / "SAMPLEA_tagged.bam"
+    shutil.copy(bam, dbam)
+    # auto-discovered whitelist: barcodes_<prefix>.tsv next to the bam
+    (work / "barcodes_SAMPLEA.tsv").write_text(
+        "\n".join(f"{c}-1" for c in cells))
+    from click.testing import CliRunner
+    from velocyto_tpu.commands.run_dropest import run_dropest
+    out = tmp_path / "outdropest"
+    res = CliRunner().invoke(run_dropest,
+                             ["-o", str(out), "-@", "1", str(dbam), gtf],
+                             catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    looms = list(out.glob("*.loom"))
+    assert len(looms) == 1
+    c = loomio.connect(str(looms[0]))
+    assert len(c.ca["CellID"]) == len(cells)
+    assert c.layers["spliced"][:, :].sum() > 0
