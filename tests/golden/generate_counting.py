@@ -110,6 +110,34 @@ def main():
 
     gtf, bam, cs, mask, bcs = make_fixtures()
     out = {}
+
+    # umi-extension + discovery-mode goldens (Permissive10X)
+    def run_ref(umi_extension="no", whitelist=True):
+        counter = rvcy.ExInCounter(
+            "s", rvcy.Permissive10X,
+            valid_bcset=set(bcs) if whitelist else None,
+            umi_extension=umi_extension)
+        counter.peek(bam)
+        counter.read_transcriptmodels(gtf)
+        counter.mark_up_introns((bam,), multimap=False)
+        d, cell_order = counter.count((cs,), multimap=False,
+                                      cell_batch_size=5)
+        order = np.argsort(cell_order)
+        return ({layer: np.concatenate(arrs, axis=1)[:, order]
+                 if arrs else np.zeros((0, 0))
+                 for layer, arrs in d.items()},
+                np.array(cell_order)[order])
+
+    for ext in ("chr",):
+        d, cells = run_ref(umi_extension=ext)
+        for layer, m in d.items():
+            out[f"ext_{ext}__{layer}"] = m
+        out[f"ext_{ext}__cells"] = cells
+    d, cells = run_ref(whitelist=False)
+    for layer, m in d.items():
+        out[f"discovery__{layer}"] = m
+    out["discovery__cells"] = cells
+
     for logic_name in LOGICS:
         for use_mask in (False, True):
             counter = rvcy.ExInCounter(

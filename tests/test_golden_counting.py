@@ -56,3 +56,42 @@ def test_counting_matches_reference_engine(golden, logic_name, use_mask):
             err_msg=f"{key} layer {layer}")
         total += int(m.sum())
     assert total > 0, "vacuous comparison"
+
+
+def test_umi_chr_extension_matches_reference_engine(golden):
+    gtf = os.path.join(HERE, "cnt_ann.gtf")
+    bam = os.path.join(HERE, "cnt_fix.bam")
+    cs = os.path.join(HERE, "cnt_fix_cellsorted.bam")
+    bcs = {f"C{c:03d}" for c in range(15)}
+    counter = ExInCounter("s", LOGICS["Permissive10X"],
+                          valid_bcset=set(bcs), umi_extension="chr")
+    counter.peek(bam)
+    counter.read_transcriptmodels(gtf)
+    counter.mark_up_introns([bam], multimap=False)
+    d, cell_order = counter.count([cs], multimap=False, cell_batch_size=5)
+    order = np.argsort(cell_order)
+    np.testing.assert_array_equal(np.array(cell_order)[order],
+                                  golden["ext_chr__cells"])
+    for layer, arrs in d.items():
+        np.testing.assert_array_equal(
+            np.concatenate(arrs, axis=1)[:, order],
+            golden[f"ext_chr__{layer}"], err_msg=layer)
+
+
+def test_discovery_mode_matches_reference_engine(golden):
+    gtf = os.path.join(HERE, "cnt_ann.gtf")
+    bam = os.path.join(HERE, "cnt_fix.bam")
+    cs = os.path.join(HERE, "cnt_fix_cellsorted.bam")
+    counter = ExInCounter("s", LOGICS["Permissive10X"])
+    counter.peek(bam)
+    counter.read_transcriptmodels(gtf)
+    counter.mark_up_introns([bam], multimap=False)
+    d, cell_order = counter.count([cs], multimap=False, cell_batch_size=5)
+    order = np.argsort(cell_order)
+    np.testing.assert_array_equal(np.array(cell_order)[order],
+                                  golden["discovery__cells"])
+    for layer, arrs in d.items():
+        got = (np.concatenate(arrs, axis=1)[:, order] if arrs
+               else np.zeros((0, 0)))
+        np.testing.assert_array_equal(got, golden[f"discovery__{layer}"],
+                                      err_msg=layer)
