@@ -1479,7 +1479,7 @@ class VelocytoLoom:
         colorandum *= 0.3
         colorandum[:, -1] = alpha
         plt.scatter(self.embedding[:, 0], self.embedding[:, 1],
-                    c=colorandum, s=50, edgecolor="")
+                    c=colorandum, s=50, edgecolor="none")
         if mark_cell:
             plt.scatter(self.embedding[cell_ix, 0], self.embedding[cell_ix, 1],
                         facecolor="none", s=100, edgecolor="k")
