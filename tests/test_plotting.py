@@ -55,6 +55,13 @@ def test_plot_pca(vlm):
     _done()
 
 
+def test_plot_pca_imputed(vlm):
+    vlm.normalize("imputed")
+    vlm._perform_PCA_imputed(n_components=5)
+    vlm._plot_pca_imputed()
+    _done()
+
+
 def test_plot_phase_portraits(vlm):
     vlm.plot_phase_portraits(["g0", "g1"])
     _done()

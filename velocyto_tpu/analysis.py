@@ -1292,6 +1292,16 @@ class VelocytoLoom:
                    self.pcs[:, dim[2]], c=self.colorandum)
         ax.view_init(elev=elev, azim=azim)
 
+    def _plot_pca_imputed(self, dim: List[int] = [0, 1, 2], elev: float = 60,
+                          azim: float = -140) -> None:
+        """3D PCA scatter of the smoothed data (reference :922-931)."""
+        plt = _plt()
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot(111, projection="3d")
+        ax.scatter(self.pcsx[:, dim[0]], self.pcsx[:, dim[1]],
+                   self.pcsx[:, dim[2]], c=self.colorandum)
+        ax.view_init(elev=elev, azim=azim)
+
     def _plot_phase_portrait(self, gene: Optional[str], gs_i: Any = None) -> None:
         plt = _plt()
         if gene is None:

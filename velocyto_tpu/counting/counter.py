@@ -357,7 +357,11 @@ class ExInCounter:
         if self._fastpath_ok():
             return self._soa_engine().count(bamfile, multimap,
                                             cell_batch_size)
-        self.cell_batch: Set[str] = set()
+        # Encounter-ordered (the reference uses a set here,
+        # counter.py:760-787 + :847, which makes its loom column order
+        # hash-randomized across processes; we keep it deterministic and
+        # identical to the SoA fast path).
+        self.cell_batch: Dict[str, None] = {}
         self.reads_to_count: List[Read] = []
         cell_bcs_order: List[str] = []
         dict_list_arrays: Dict[str, List[np.ndarray]] = {
@@ -374,10 +378,10 @@ class ExInCounter:
                 dict_layer_columns, list_bcs = self.count_cell_batch()
                 self._append_batch_result(dict_layer_columns, list_bcs,
                                           dict_list_arrays, cell_bcs_order)
-                self.cell_batch = set()
+                self.cell_batch = {}
                 self.reads_to_count = []
             if r is not None:
-                self.cell_batch.add(r.bc)
+                self.cell_batch[r.bc] = None
                 self.reads_to_count.append(r)
         logging.debug("Counting done!")
         return dict_list_arrays, cell_bcs_order
