@@ -61,11 +61,28 @@ class ReadBatch:
 
     @staticmethod
     def concatenate(parts: List["ReadBatch"]) -> "ReadBatch":
-        return ReadBatch(*(np.concatenate([getattr(p, f) for p in parts])
-                           for f in ("chrom_id", "strand", "pos", "n_segs",
-                                     "seg_start", "seg_end", "clip5", "clip3",
-                                     "ref_skip", "ok", "bc", "umi", "aux",
-                                     "seq")))
+        """Concatenate parts that may carry different segment-table
+        widths (copies are width-trimmed); the result uses the max
+        width, trailing slots left unspecified (only slots < n_segs are
+        meaningful)."""
+        scalars = ("chrom_id", "strand", "pos", "n_segs", "clip5", "clip3",
+                   "ref_skip", "ok", "bc", "umi", "aux", "seq")
+        out = {f: np.concatenate([getattr(p, f) for p in parts])
+               for f in scalars}
+        w = max(p.seg_start.shape[1] for p in parts)
+        n = len(out["pos"])
+        ss = np.empty((n, w), parts[0].seg_start.dtype)
+        se = np.empty((n, w), parts[0].seg_end.dtype)
+        at = 0
+        for p in parts:
+            m, pw = p.seg_start.shape
+            ss[at:at + m, :pw] = p.seg_start
+            se[at:at + m, :pw] = p.seg_end
+            at += m
+        return ReadBatch(out["chrom_id"], out["strand"], out["pos"],
+                         out["n_segs"], ss, se, out["clip5"], out["clip3"],
+                         out["ref_skip"], out["ok"], out["bc"], out["umi"],
+                         out["aux"], out["seq"])
 
     def slice(self, lo: int, hi: int) -> "ReadBatch":
         return ReadBatch(self.chrom_id[lo:hi], self.strand[lo:hi],
@@ -76,15 +93,67 @@ class ReadBatch:
                          self.bc[lo:hi], self.umi[lo:hi], self.aux[lo:hi],
                          self.seq[lo:hi])
 
+    def copy_range(self, lo: int, hi: int) -> "ReadBatch":
+        """Materialized copy of rows [lo, hi) with the segment table
+        trimmed to the range's max segment count.  Use instead of
+        slice() when the rows are kept past the next read_batch() call
+        (readers reuse their buffers)."""
+        ns = self.n_segs[lo:hi].copy()
+        w = max(1, int(ns.max())) if len(ns) else 1
+        return ReadBatch(self.chrom_id[lo:hi].copy(),
+                         self.strand[lo:hi].copy(), self.pos[lo:hi].copy(),
+                         ns, np.ascontiguousarray(self.seg_start[lo:hi, :w]),
+                         np.ascontiguousarray(self.seg_end[lo:hi, :w]),
+                         self.clip5[lo:hi].copy(), self.clip3[lo:hi].copy(),
+                         self.ref_skip[lo:hi].copy(), self.ok[lo:hi].copy(),
+                         self.bc[lo:hi].copy(), self.umi[lo:hi].copy(),
+                         self.aux[lo:hi].copy(), self.seq[lo:hi].copy())
+
     def take(self, idx: np.ndarray) -> "ReadBatch":
-        """Gather rows by index array or boolean mask."""
+        """Gather rows by index array or boolean mask (always a copy);
+        the segment table is trimmed to the gathered max width."""
+        ns = self.n_segs[idx]
+        w = max(1, int(ns.max())) if len(ns) else 1
         return ReadBatch(self.chrom_id[idx], self.strand[idx],
-                         self.pos[idx], self.n_segs[idx],
-                         self.seg_start[idx], self.seg_end[idx],
+                         self.pos[idx], ns,
+                         self.seg_start[:, :w][idx],
+                         self.seg_end[:, :w][idx],
                          self.clip5[idx], self.clip3[idx],
                          self.ref_skip[idx], self.ok[idx],
                          self.bc[idx], self.umi[idx], self.aux[idx],
                          self.seq[idx])
+
+
+# -- reusable batch buffers -------------------------------------------------
+# First-touch page faults make fresh multi-MB allocations expensive; every
+# reader borrows its decode buffer from this pool and returns it on close,
+# so a whole multi-file, multi-pass counting run touches each page once.
+
+_BUF_POOL: List[ReadBatch] = []
+
+
+def _alloc_batch(n: int) -> ReadBatch:
+    return ReadBatch(
+        chrom_id=np.zeros(n, np.int32), strand=np.zeros(n, np.uint8),
+        pos=np.zeros(n, np.int64), n_segs=np.zeros(n, np.int32),
+        seg_start=np.zeros((n, MAX_SEGS), np.int64),
+        seg_end=np.zeros((n, MAX_SEGS), np.int64),
+        clip5=np.zeros(n, np.int32), clip3=np.zeros(n, np.int32),
+        ref_skip=np.zeros(n, np.uint8), ok=np.zeros(n, np.uint8),
+        bc=np.zeros(n, f"S{BC_BYTES}"), umi=np.zeros(n, f"S{BC_BYTES}"),
+        aux=np.zeros(n, f"S{BC_BYTES}"), seq=np.zeros(n, f"S{BC_BYTES}"))
+
+
+def _acquire_batch(n: int) -> ReadBatch:
+    for i, b in enumerate(_BUF_POOL):
+        if len(b.pos) >= n:
+            return _BUF_POOL.pop(i)
+    return _alloc_batch(n)
+
+
+def _release_batch(b: Optional[ReadBatch]) -> None:
+    if b is not None and len(_BUF_POOL) < 2:
+        _BUF_POOL.append(b)
 
 
 class NativeBamReader:
@@ -108,19 +177,19 @@ class NativeBamReader:
         self._aux_tag = aux_tag.encode()[:2]
         self._seq_prefix = int(seq_prefix)
         self._unique = int(require_unique)
+        self._buf: Optional[ReadBatch] = None
 
     def read_batch(self, max_reads: int = 1 << 18) -> Optional[ReadBatch]:
+        """Decode the next batch.  The returned ReadBatch is a VIEW into
+        buffers owned by the reader and is invalidated by the next
+        read_batch() call -- use ReadBatch.copy_range()/take() for rows
+        that are kept longer (fresh large allocations are expensive;
+        reuse keeps the decode loop allocation-free)."""
         n = max_reads
-        b = ReadBatch(
-            chrom_id=np.empty(n, np.int32), strand=np.empty(n, np.uint8),
-            pos=np.empty(n, np.int64), n_segs=np.empty(n, np.int32),
-            seg_start=np.empty((n, MAX_SEGS), np.int64),
-            seg_end=np.empty((n, MAX_SEGS), np.int64),
-            clip5=np.empty(n, np.int32), clip3=np.empty(n, np.int32),
-            ref_skip=np.empty(n, np.uint8), ok=np.empty(n, np.uint8),
-            bc=np.empty(n, f"S{BC_BYTES}"), umi=np.empty(n, f"S{BC_BYTES}"),
-            aux=np.zeros(n, f"S{BC_BYTES}"),
-            seq=np.zeros(n, f"S{BC_BYTES}"))
+        if self._buf is None or len(self._buf.pos) < n:
+            _release_batch(self._buf)
+            self._buf = _acquire_batch(n)
+        b = self._buf
         from ctypes import POINTER, c_int32, c_int64, c_uint8, c_char_p
 
         def p(arr, ct):
@@ -150,6 +219,8 @@ class NativeBamReader:
         if self._h:
             self._lib.vtpu_bam_close(self._h)
             self._h = None
+        _release_batch(self._buf)
+        self._buf = None
 
     def __del__(self) -> None:
         try:
@@ -173,24 +244,31 @@ class PythonBamReader:
         self._aux_tag = aux_tag
         self._seq_prefix = int(seq_prefix)
         self._unique = require_unique
+        self._buf: Optional[ReadBatch] = None
 
     def read_batch(self, max_reads: int = 1 << 18) -> Optional[ReadBatch]:
+        """Same buffer-reuse contract as NativeBamReader.read_batch."""
         n = max_reads
-        b = ReadBatch(
-            chrom_id=np.zeros(n, np.int32), strand=np.zeros(n, np.uint8),
-            pos=np.zeros(n, np.int64), n_segs=np.zeros(n, np.int32),
-            seg_start=np.zeros((n, MAX_SEGS), np.int64),
-            seg_end=np.zeros((n, MAX_SEGS), np.int64),
-            clip5=np.zeros(n, np.int32), clip3=np.zeros(n, np.int32),
-            ref_skip=np.zeros(n, np.uint8), ok=np.zeros(n, np.uint8),
-            bc=np.zeros(n, f"S{BC_BYTES}"), umi=np.zeros(n, f"S{BC_BYTES}"),
-            aux=np.zeros(n, f"S{BC_BYTES}"),
-            seq=np.zeros(n, f"S{BC_BYTES}"))
+        if self._buf is None or len(self._buf.pos) < n:
+            _release_batch(self._buf)
+            self._buf = _acquire_batch(n)
+        b = self._buf
         i = 0
         for rec in self._it:
             b.chrom_id[i] = rec.ref_id
             b.strand[i] = 1 if rec.is_reverse else 0
             b.pos[i] = rec.pos + 1
+            b.n_segs[i] = 0
+            b.ok[i] = 0
+            b.bc[i] = b""
+            b.umi[i] = b""
+            b.clip5[i] = 0
+            b.clip3[i] = 0
+            b.ref_skip[i] = 0
+            if self._aux_tag:
+                b.aux[i] = b""
+            if self._seq_prefix:
+                b.seq[i] = b""
             if not rec.is_unmapped and \
                     not (self._unique and rec.tags.get("NH", 1) != 1):
                 segments, ref_skip, clip5, clip3 = parse_cigar_tuple(
@@ -224,7 +302,8 @@ class PythonBamReader:
         return b.slice(0, i)
 
     def close(self) -> None:
-        pass
+        _release_batch(self._buf)
+        self._buf = None
 
 
 def open_soa_reader(path: str, bc_tag: str, umi_tag: str,

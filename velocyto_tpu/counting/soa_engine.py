@@ -35,6 +35,24 @@ from .molecules import (RecordArrays, build_read_records,
 from .reads import normalize_chrom
 
 
+try:
+    import pandas as _pd
+except ImportError:      # pragma: no cover - pandas is a baked-in dep
+    _pd = None
+
+
+def factorize(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(uniques, inverse) with np.unique(return_inverse=True) grouping
+    semantics but hash-based (no O(n log n) sort of byte strings) when
+    pandas is available.  Unique ORDER is arbitrary - callers must only
+    rely on the grouping, not on sortedness."""
+    if _pd is not None:
+        codes, uniq = _pd.factorize(arr)
+        return np.asarray(uniq), codes
+    u, inv = np.unique(arr, return_inverse=True)
+    return u, inv
+
+
 _POOL_ENGINE = None   # fork-inherited engine for pcount workers
 
 
@@ -102,7 +120,7 @@ class SoaEngine:
         """
         c = self.c
         self.skipped_no_barcode += int((rb.bc == b"").sum())
-        uniq, inv = np.unique(rb.bc, return_inverse=True)
+        uniq, inv = factorize(rb.bc)
         keep_u = np.empty(len(uniq), dtype=bool)
         name_u = np.empty(len(uniq), dtype=object)
         for i, b in enumerate(uniq):
@@ -269,7 +287,7 @@ class SoaEngine:
                     if n_keep == 0:
                         continue
                     if n_keep == e - s:       # common case: whole run kept
-                        part = rb.slice(s, e)
+                        part = rb.copy_range(s, e)
                         name = names[s]
                     else:
                         kidx = np.flatnonzero(krun) + s
@@ -383,7 +401,7 @@ class SoaEngine:
                         if n_keep == 0:
                             continue
                         if n_keep == e - s:   # common case: whole run kept
-                            part = rb.slice(s, e)
+                            part = rb.copy_range(s, e)
                             name = names[s]
                         else:
                             kidx = np.flatnonzero(krun) + s
@@ -440,23 +458,23 @@ class SoaEngine:
             mol_bcidx_arr = read_bcidx.astype(np.int64)
             n_mol = n
         else:
-            umi_uniq, umi_inv = np.unique(rb.umi, return_inverse=True)
+            umi_uniq, umi_inv = factorize(rb.umi)
             key = read_bcidx * len(umi_uniq) + umi_inv
             if c.umi_extension == "Nbp":
                 # reference: umi + rec.seq[:N] (counter.py:205-206)
-                sq_uniq, sq_inv = np.unique(rb.seq, return_inverse=True)
+                sq_uniq, sq_inv = factorize(rb.seq)
                 key = key * len(sq_uniq) + sq_inv
             if c.umi_extension == "Gene":
                 # reference: f"{umi}_{GX}" / "{umi}_withoutGX"
                 # (counter.py:202-204); missing GX = its own class
-                gx_uniq, gx_inv = np.unique(rb.aux, return_inverse=True)
+                gx_uniq, gx_inv = factorize(rb.aux)
                 key = key * len(gx_uniq) + gx_inv
             if c.umi_extension == "chr":
                 # reference: f"{umi}_{ref_id}:{rec.pos // 10000000}"
                 # (counter.py:200-201); rec.pos is 0-based
                 extra = (rb.chrom_id.astype(np.int64) << 16) | \
                     ((rb.pos - 1) // 10_000_000)
-                ex_uniq, ex_inv = np.unique(extra, return_inverse=True)
+                ex_uniq, ex_inv = factorize(extra)
                 key = key * len(ex_uniq) + ex_inv
             _uniq, first, inv = np.unique(key, return_index=True,
                                           return_inverse=True)
