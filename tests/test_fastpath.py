@@ -276,6 +276,45 @@ def test_pcount_matches_count(tmp_path, annotation):
     assert total > 0
 
 
+def test_pcount_multifile_and_discovery(tmp_path, annotation):
+    """pcount column-order restoration across the hard cases: two input
+    files sharing barcodes (one column per (file, cell), reference
+    counter.py:783-788 per-file flush) and discovery mode (<80-molecule
+    filter applied per cell)."""
+    gtf, genes = annotation
+    bam1, bcs = _random_bam(tmp_path, genes, seed=6, n_reads=2500,
+                            n_cells=6, name="a.bam")
+    bam2, _ = _random_bam(tmp_path, genes, seed=7, n_reads=2500,
+                          n_cells=6, name="b.bam")
+    cs1 = _cellsort(tmp_path, bam1, "cs1.bam")
+    cs2 = _cellsort(tmp_path, bam2, "cs2.bam")
+    for valid in (set(bcs), None):      # whitelist and discovery mode
+        runs = []
+        for nproc in (1, 3):
+            c = ExInCounter(sampleid="s", logic=LOGICS["Permissive10X"],
+                            valid_bcset=set(valid) if valid else None)
+            c.peek(bam1)
+            c.read_transcriptmodels(gtf)
+            c.mark_up_introns([bam1, bam2], multimap=False)
+            if nproc == 1:
+                d, b = c.count([cs1, cs2], multimap=False,
+                               cell_batch_size=4)
+            else:
+                d, b = c.pcount([cs1, cs2], multimap=False,
+                                cell_batch_size=4, n_processes=nproc)
+            mats = {layer: np.concatenate(arrs, axis=1) if arrs else
+                    np.zeros((0, 0)) for layer, arrs in d.items()}
+            runs.append((mats, b))
+
+        (m1, b1), (m2, b2) = runs
+        assert b1 == b2
+        if valid:
+            assert len(b1) == 12   # 6 cells x 2 files
+        for layer in m1:
+            np.testing.assert_array_equal(m1[layer], m2[layer],
+                                          err_msg=layer)
+
+
 def test_fastpath_matches_object_umi_gene(tmp_path, annotation):
     """Gene umi extension: the GX tag joins the molecule key."""
     gtf, genes = annotation

@@ -56,14 +56,23 @@ def factorize(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 _POOL_ENGINE = None   # fork-inherited engine for pcount workers
 
 
-def _pool_count_batch(rb: ReadBatch, bcidx: np.ndarray, bc_list: List[str],
-                      chrom_names: List[str]):
-    """Worker entry: runs one cell batch against the fork-inherited
-    engine (chrom names snapshot passed per task - the parent's table
-    may have grown since the fork)."""
+def _pool_count_range(bamfiles: List[str], multimap: bool,
+                      cell_batch_size: int, wid: int, nproc: int):
+    """pcount worker: runs the serial counting pass over the cells this
+    worker owns (stable-hash partition), against the fork-inherited
+    engine.  Returns concatenated per-layer matrices + column order +
+    per-file marks (+ the global cell order from worker 0)."""
     eng = _POOL_ENGINE
-    eng._chrom_names = chrom_names
-    return eng.count_cell_batch(rb, bcidx, bc_list)
+    dla, order, marks, glob = eng._count_impl(
+        bamfiles, multimap, cell_batch_size, owner=(wid, nproc),
+        track_global=(wid == 0),
+        batch_reads=1 << 16)   # small decode batches: forked children pay
+                               # first-touch/COW faults per fresh page
+    n_genes = len(eng.c.geneid2ix)
+    mats = {layer: (np.concatenate(arrs, axis=1) if arrs else
+                    np.zeros((n_genes, 0), dtype=eng.c.loom_numeric_dtype))
+            for layer, arrs in dla.items()}
+    return mats, order, marks, glob, eng.skipped_no_barcode
 
 
 def _last_end(rb: ReadBatch) -> np.ndarray:
@@ -219,6 +228,32 @@ class SoaEngine:
     def count(self, bamfiles: Iterable[str], multimap: bool,
               cell_batch_size: int = 100
               ) -> Tuple[Dict[str, List[np.ndarray]], List[str]]:
+        dla, order, _marks, _glob = self._count_impl(
+            bamfiles, multimap, cell_batch_size)
+        return dla, order
+
+    def _count_impl(self, bamfiles: Iterable[str], multimap: bool,
+                    cell_batch_size: int = 100,
+                    owner: Optional[Tuple[int, int]] = None,
+                    track_global: bool = False,
+                    batch_reads: int = 1 << 18):
+        """Serial counting pass.
+
+        owner=(wid, nproc): process only cells whose stable hash maps to
+        this worker (pcount partitioning) - per-cell results are
+        identical to the unpartitioned run because molecule assembly and
+        the <80-molecule filter are per-cell.
+        track_global: also record the first-encounter order of ALL kept
+        cells (pre-ownership), tagged (file_idx, name), so a pcount
+        parent can restore the serial column order.
+
+        Returns (dict_list_arrays, cell_bcs_order, file_marks,
+        global_order) where file_marks[i] = len(cell_bcs_order) after
+        file i (columns between marks belong to that file - a barcode
+        seen in two input files yields two columns, like the reference's
+        per-file batch flush, counter.py:783-788).
+        """
+        from zlib import crc32
         c = self.c
         import os
         bamfiles = list(bamfiles)
@@ -234,6 +269,15 @@ class SoaEngine:
         cur_cells: Dict[str, int] = {}
         nth = [0]
         mol_serial = [0]   # running counter for without_umi molecule keys
+        file_marks: List[int] = []
+        global_order: List[Tuple[int, str]] = []
+        global_seen: set = set()
+
+        def owned(name: str) -> bool:
+            if owner is None:
+                return True
+            wid, nproc = owner
+            return crc32(name.encode()) % nproc == wid
 
         def flush() -> None:
             nth[0] += 1
@@ -250,7 +294,7 @@ class SoaEngine:
             pend_bcidx.clear()
             cur_cells.clear()
 
-        for bamfile in bamfiles:
+        for fi, bamfile in enumerate(bamfiles):
             label = os.path.basename(bamfile) if use_basename else str(bamfile)
             reader = open_soa_reader(
                 str(bamfile), c.cellbarcode_str, c.umibarcode_str,
@@ -259,7 +303,7 @@ class SoaEngine:
                 seq_prefix=(c.umi_bp if c.umi_extension == "Nbp" else 0))
             gmap = self._global_chrom_map(reader.references)
             while True:
-                rb = reader.read_batch()
+                rb = reader.read_batch(batch_reads)
                 if rb is None:
                     break
                 keep = _base_keep(rb)
@@ -286,13 +330,17 @@ class SoaEngine:
                     n_keep = int(krun.sum())
                     if n_keep == 0:
                         continue
+                    name = names[s] if krun[0] else \
+                        names[np.flatnonzero(krun)[0] + s]
+                    if track_global and (fi, name) not in global_seen:
+                        global_seen.add((fi, name))
+                        global_order.append((fi, name))
+                    if not owned(name):
+                        continue
                     if n_keep == e - s:       # common case: whole run kept
                         part = rb.copy_range(s, e)
-                        name = names[s]
                     else:
-                        kidx = np.flatnonzero(krun) + s
-                        part = rb.take(kidx)
-                        name = names[kidx[0]]
+                        part = rb.take(np.flatnonzero(krun) + s)
                     if name not in cur_cells:
                         if len(cur_cells) == cell_batch_size:
                             flush()
@@ -302,10 +350,11 @@ class SoaEngine:
                                               dtype=np.int64))
             reader.close()
             flush()   # file boundary (reference None sentinel)
+            file_marks.append(len(cell_bcs_order))
         logging.debug(f"{self.skipped_no_barcode} reads without barcode "
                       f"skipped")
         logging.debug("Counting done!")
-        return dict_list_arrays, cell_bcs_order
+        return dict_list_arrays, cell_bcs_order, file_marks, global_order
 
     # -- parallel counting (the reference's pcount stub, implemented:
     #    reference counter.py:1256-1265 raises NotImplementedError) ------
@@ -313,112 +362,66 @@ class SoaEngine:
     def pcount(self, bamfiles: Iterable[str], multimap: bool,
                cell_batch_size: int = 100, n_processes: int = 2
                ) -> Tuple[Dict[str, List[np.ndarray]], List[str]]:
-        """count() with cell batches processed by a fork-based worker
-        pool.  Cell batches are independent by construction (molecule
-        keys contain the cell barcode), so results are exact."""
+        """Parallel counting by cell-ownership partitioning.
+
+        Each fork-inherited worker decodes the (cheap, native) BAM
+        stream itself and counts only the cells whose stable hash it
+        owns, so nothing but the final count columns crosses process
+        boundaries.  Per-cell results are identical to the serial pass:
+        molecule assembly and the <80-molecule filter are per-cell, and
+        batch composition has no cross-cell effects.  Worker 0 also
+        records the global first-encounter cell order, which the parent
+        uses to restore the serial column order exactly.
+        """
+        if n_processes <= 1:
+            return self.count(bamfiles, multimap, cell_batch_size)
         import concurrent.futures as cf
         import multiprocessing as mp
-        import os
         c = self.c
         bamfiles = list(bamfiles)
-        from collections import Counter as _Counter
-        use_basename = (not bamfiles or
-                        _Counter(bamfiles).most_common(1)[0][1] == 1)
-        cell_bcs_order: List[str] = []
-        dict_list_arrays: Dict[str, List[np.ndarray]] = {
-            layer: [] for layer in c.logic.layers}
-
-        pend: List[ReadBatch] = []
-        pend_bcidx: List[np.ndarray] = []
-        cur_cells: Dict[str, int] = {}
-        futures: List[Tuple] = []
 
         global _POOL_ENGINE
         _POOL_ENGINE = self
         ctx = mp.get_context("fork")
         with cf.ProcessPoolExecutor(max_workers=n_processes,
                                     mp_context=ctx) as pool:
-            def drain(block: bool) -> None:
-                # consume completed batches in submission order to keep
-                # memory bounded and the column order deterministic
-                while futures:
-                    if block or futures[0][0].done() or \
-                            len(futures) > 2 * n_processes:
-                        fut, bc_list = futures.pop(0)
-                        c._append_batch_result(fut.result(), bc_list,
-                                               dict_list_arrays,
-                                               cell_bcs_order)
-                    else:
-                        break
+            futs = [pool.submit(_pool_count_range, bamfiles, multimap,
+                                cell_batch_size, w, n_processes)
+                    for w in range(n_processes)]
+            results = [f.result() for f in futs]
+        _POOL_ENGINE = None
 
-            def flush() -> None:
-                if pend:
-                    rb_all = ReadBatch.concatenate(pend)
-                    bcidx = np.concatenate(pend_bcidx)
-                    bc_list = list(cur_cells.keys())
-                    futures.append((pool.submit(
-                        _pool_count_batch, rb_all, bcidx, bc_list,
-                        list(self._chrom_names)), bc_list))
-                    drain(block=False)
-                pend.clear()
-                pend_bcidx.clear()
-                cur_cells.clear()
+        layers = list(c.logic.layers)
+        n_genes = len(c.geneid2ix)
+        # tag each worker column with its (file_idx, name) key
+        col_of: Dict[Tuple[int, str], Tuple[int, int]] = {}
+        worker_mats: List[Dict[str, np.ndarray]] = []
+        for w, (mats, order, marks, _glob, skipped) in enumerate(results):
+            worker_mats.append(mats)
+            fi = 0
+            for j, name in enumerate(order):
+                while fi < len(marks) and j >= marks[fi]:
+                    fi += 1
+                col_of[(fi, name)] = (w, j)
+            if w == 0:
+                self.skipped_no_barcode = skipped
+        global_order = results[0][3]
+        final = [key for key in global_order if key in col_of]
 
-            for bamfile in bamfiles:
-                label = os.path.basename(bamfile) if use_basename \
-                    else str(bamfile)
-                reader = open_soa_reader(
-                    str(bamfile), c.cellbarcode_str, c.umibarcode_str,
-                    not multimap,
-                    aux_tag="GX" if c.umi_extension == "Gene" else "",
-                    seq_prefix=(c.umi_bp if c.umi_extension == "Nbp"
-                                else 0))
-                gmap = self._global_chrom_map(reader.references)
-                while True:
-                    rb = reader.read_batch()
-                    if rb is None:
-                        break
-                    keep = _base_keep(rb)
-                    if c.umi_extension != "without_umi":
-                        keep &= rb.umi != b""
-                    if c.onefilepercell:
-                        names = np.empty(len(rb), dtype=object)
-                        names[:] = label
-                        bc_keep = np.ones(len(rb), dtype=bool)
-                    else:
-                        bc_keep, names = self._strip_bcs(rb)
-                    keep &= bc_keep
-                    import dataclasses
-                    rb = dataclasses.replace(
-                        rb, chrom_id=gmap[rb.chrom_id].astype(np.int32))
-                    change = np.ones(len(rb), dtype=bool)
-                    change[1:] = rb.bc[1:] != rb.bc[:-1]
-                    run_starts = np.flatnonzero(change)
-                    run_ends = np.append(run_starts[1:], len(rb))
-                    for s, e in zip(run_starts, run_ends):
-                        krun = keep[s:e]
-                        n_keep = int(krun.sum())
-                        if n_keep == 0:
-                            continue
-                        if n_keep == e - s:   # common case: whole run kept
-                            part = rb.copy_range(s, e)
-                            name = names[s]
-                        else:
-                            kidx = np.flatnonzero(krun) + s
-                            part = rb.take(kidx)
-                            name = names[kidx[0]]
-                        if name not in cur_cells:
-                            if len(cur_cells) == cell_batch_size:
-                                flush()
-                            cur_cells[name] = len(cur_cells)
-                        pend.append(part)
-                        pend_bcidx.append(np.full(
-                            n_keep, cur_cells[name], dtype=np.int64))
-                reader.close()
-                flush()
-            drain(block=True)
+        dict_list_arrays: Dict[str, List[np.ndarray]] = {}
+        for layer in layers:
+            out = np.zeros((n_genes, len(final)),
+                           dtype=c.loom_numeric_dtype, order="C")
+            for k, key in enumerate(final):
+                w, j = col_of[key]
+                m = worker_mats[w][layer]
+                if m.shape[1]:
+                    out[:, k] = m[:, j]
+            dict_list_arrays[layer] = [out] if len(final) else []
+        cell_bcs_order = [name for (_fi, name) in final]
         logging.debug("Counting done!")
         return dict_list_arrays, cell_bcs_order
+
 
     # -- one cell batch, fully vectorized --------------------------------
 
