@@ -63,16 +63,27 @@ def main():
     ixs_j = jnp.asarray(ixs)
     tcode = _TRANSFORMS["sqrt"]
 
-    # warmup/compile.  NOTE: force completion with a reduction --
-    # block_until_ready is unreliable on the experimental axon platform.
-    _ = float(jnp.sum(_partial_impl(e_rows, e_rows, d_rows, ixs_j,
-                                    tcode, PSC, 128)))
+    # Repeat the kernel on-device (lax.fori_loop) so the measurement is
+    # device throughput, not host->device dispatch: one host round trip
+    # through the axon tunnel costs ~37 ms, comparable to the kernel
+    # itself.  The tiny data-dependent perturbation (acc * 0) keeps XLA
+    # from hoisting the kernel out of the loop.  Completion is forced
+    # with a scalar reduction -- block_until_ready is unreliable on the
+    # experimental axon platform.
+    import functools
 
-    reps = 3
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def repeated(e_rows, d_rows, ixs_j, reps):
+        def body(_, acc):
+            out = _partial_impl(e_rows + acc * 0, e_rows, d_rows, ixs_j,
+                                tcode, PSC)
+            return acc + jnp.sum(out) * 1e-9
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    reps = 5
+    _ = float(repeated(e_rows, d_rows, ixs_j, reps))   # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(reps):
-        _ = float(jnp.sum(_partial_impl(e_rows, e_rows, d_rows, ixs_j,
-                                        tcode, PSC, 128)))
+    _ = float(repeated(e_rows, d_rows, ixs_j, reps))
     dt = (time.perf_counter() - t0) / reps
     tpu_cells_per_sec = CELLS / dt
 
