@@ -17,7 +17,6 @@ import numpy as np
 
 def main() -> None:
     import jax
-    from velocyto_tpu.ops.coldeltacor import col_delta_cor_partial_sharded
     from velocyto_tpu.parallel.mesh import make_mesh
 
     G, N, NN = 2000, 4096, 512
@@ -27,6 +26,10 @@ def main() -> None:
     ixs = np.stack([rng.choice(N, NN, replace=False)
                     for _ in range(N)]).astype(np.int32)
 
+    import functools
+    import jax.numpy as jnp
+    from velocyto_tpu.ops.coldeltacor import make_partial_sharded
+
     all_devices = jax.devices()
     virtual = all_devices[0].platform == "cpu" and len(all_devices) > 1
     base = None
@@ -34,13 +37,26 @@ def main() -> None:
               if c <= len(all_devices)]
     for n_dev in counts:
         mesh = make_mesh(devices=all_devices[:n_dev])
-        # warmup/compile
-        out = col_delta_cor_partial_sharded(mesh, e, d, ixs, "sqrt", 1e-10)
-        t0 = time.perf_counter()
+        fn = make_partial_sharded(mesh, "sqrt", 1e-10)
+
+        # Repeat on-device so the measurement excludes dispatch/transfer
+        # (the host round trip costs ~37 ms through the axon tunnel;
+        # device->host pulls can be pathologically slow).  Completion is
+        # forced by the scalar float() pull.
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def repeated(e_r, d_r, ixs_r, reps, fn=fn):
+            def body(_, acc):
+                out = fn(e_r + acc * 1e-30, e_r, d_r, ixs_r)
+                return acc + jnp.sum(out) * 1e-9
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        e_r = jnp.asarray(e.T)
+        d_r = jnp.asarray(d.T)
+        ixs_r = jnp.asarray(ixs)
         reps = 3
-        for _ in range(reps):
-            out = col_delta_cor_partial_sharded(mesh, e, d, ixs,
-                                                "sqrt", 1e-10)
+        _ = float(repeated(e_r, d_r, ixs_r, reps))     # warmup/compile
+        t0 = time.perf_counter()
+        _ = float(repeated(e_r, d_r, ixs_r, reps))
         dt = (time.perf_counter() - t0) / reps
         cps = N / dt
         if base is None:
@@ -51,7 +67,6 @@ def main() -> None:
         if virtual:
             rec["note"] = "virtual CPU devices: timing not meaningful"
         print(json.dumps(rec), flush=True)
-        del out
 
 
 if __name__ == "__main__":

@@ -308,6 +308,21 @@ def col_delta_cor_partial(emat, dmat, ixs, transform: str = "linear",
     return out
 
 
+def make_partial_sharded(mesh: Mesh, transform: str = "linear",
+                         psc: float = 0.0):
+    """Build the shard_map'd partial-colDeltaCor callable for `mesh`
+    (cells axis sharded, expression replicated).  Signature:
+    (e_rows (N,G), e_shard (Np,G), d_shard (Np,G), ixs (Np,nn)) ->
+    (Np, nn) device array; Np must divide by the mesh's cells axis."""
+    tcode = _TRANSFORMS[transform]
+    return shard_map(
+        functools.partial(_partial_impl, transform=tcode, psc=psc),
+        mesh=mesh,
+        in_specs=(P(), P(CELLS, None), P(CELLS, None), P(CELLS, None)),
+        out_specs=P(CELLS, None),
+    )
+
+
 def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
                                   transform: str = "linear",
                                   psc: float = 0.0) -> np.ndarray:
@@ -317,7 +332,6 @@ def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
     matrix, so scaling is embarrassingly parallel over ICI-connected chips.
     Returns the compact (N, nn) form.
     """
-    tcode = _TRANSFORMS[transform]
     e_rows = jnp.array(emat, dtype=jnp.float32).T
     d_rows = jnp.array(dmat, dtype=jnp.float32).T
     ixs = jnp.array(ixs, dtype=jnp.int32)
@@ -328,11 +342,6 @@ def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
     d_pad = jnp.pad(d_rows, ((0, n_pad - n), (0, 0)))
     ixs_pad = jnp.pad(ixs, ((0, n_pad - n), (0, 0)))
 
-    fn = shard_map(
-        functools.partial(_partial_impl, transform=tcode, psc=psc),
-        mesh=mesh,
-        in_specs=(P(), P(CELLS, None), P(CELLS, None), P(CELLS, None)),
-        out_specs=P(CELLS, None),
-    )
+    fn = make_partial_sharded(mesh, transform, psc)
     out = fn(e_rows, e_pad, d_pad, ixs_pad)
     return np.array(out[:n])
