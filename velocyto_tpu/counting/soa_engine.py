@@ -27,6 +27,7 @@ from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
+from .. import native
 from ..constants import MATCH_INSIDE, MAX_READ_SPAN
 from .fastio import ReadBatch, open_soa_reader
 from .molecules import (RecordArrays, build_read_records,
@@ -43,9 +44,18 @@ except ImportError:      # pragma: no cover - pandas is a baked-in dep
 
 def factorize(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(uniques, inverse) with np.unique(return_inverse=True) grouping
-    semantics but hash-based (no O(n log n) sort of byte strings) when
-    pandas is available.  Unique ORDER is arbitrary - callers must only
-    rely on the grouping, not on sortedness."""
+    semantics but hash-based (no O(n log n) sort of byte strings).
+    Unique ORDER is arbitrary - callers must only rely on the grouping,
+    not on sortedness.
+
+    Fixed-width byte keys go through the native exact hash
+    (vtpu_factorize_fixed) when available: pandas.factorize boxes every
+    S-dtype row into a python bytes object first, which dominated the
+    counting profile."""
+    if arr.dtype.kind in "SV":
+        nf = native.factorize_fixed(arr)
+        if nf is not None:
+            return nf
     if _pd is not None:
         codes, uniq = _pd.factorize(arr)
         return np.asarray(uniq), codes

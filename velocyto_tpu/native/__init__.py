@@ -102,6 +102,13 @@ def _configure(lib) -> None:
         c_int64,                        # mem_limit bytes
         c_int32, c_int32,               # n_threads, compression level
     ]
+    lib.vtpu_factorize_fixed.restype = c_int64
+    lib.vtpu_factorize_fixed.argtypes = [
+        c_char_p,                       # keys (n * width bytes)
+        c_int64, c_int64,               # n, width
+        POINTER(c_int64),               # out codes (n,)
+        POINTER(c_int64),               # out firsts (n,)
+    ]
 
 
 def available() -> bool:
@@ -125,6 +132,27 @@ def bam_sort_by_tag(src: str, dst: str, tag: str,
     if n < 0:
         raise IOError(f"native BAM sort failed for {src}")
     return int(n)
+
+
+def factorize_fixed(arr: np.ndarray
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(uniques, codes) for a fixed-width numpy bytes array (dtype S*),
+    exact (open-addressing hash + memcmp), uniques in first-appearance
+    order.  Returns None when libvtpu is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ctypes import POINTER, c_int64, cast, c_char_p
+    arr = np.ascontiguousarray(arr)
+    n = len(arr)
+    width = arr.dtype.itemsize
+    codes = np.empty(n, np.int64)
+    firsts = np.empty(n, np.int64)
+    k = lib.vtpu_factorize_fixed(
+        cast(arr.ctypes.data, c_char_p), n, width,
+        codes.ctypes.data_as(POINTER(c_int64)),
+        firsts.ctypes.data_as(POINTER(c_int64)))
+    return arr[firsts[:k]], codes
 
 
 def balance_knn_loop(dsi: np.ndarray, dist: np.ndarray, lsi: np.ndarray,

@@ -393,6 +393,50 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
     return count;
 }
 
+// Exact hash factorize over n fixed-width byte keys (contiguous,
+// `width` bytes each).  codes[i] = dense group id in first-appearance
+// order; firsts[j] = row index of group j's first occurrence (callers
+// gather the unique keys with it).  Returns the number of groups.
+// Replaces pandas.factorize on the counting hot path: pandas boxes
+// every fixed-width numpy bytes row into a python object first.
+int64_t vtpu_factorize_fixed(const uint8_t* keys, int64_t n, int64_t width,
+                             int64_t* codes, int64_t* firsts) {
+    if (n <= 0) return 0;
+    size_t cap = 16;
+    while (cap < (size_t)n * 2) cap <<= 1;
+    std::vector<int64_t> table(cap, -1);   // slot -> group id
+    int64_t k = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* key = keys + i * width;
+        uint64_t h = 1469598103934665603ULL;
+        int64_t b = 0;
+        for (; b + 8 <= width; b += 8) {
+            uint64_t w;
+            memcpy(&w, key + b, 8);
+            h = (h ^ w) * 1099511628211ULL;
+            h ^= h >> 29;
+        }
+        for (; b < width; ++b) h = (h ^ key[b]) * 1099511628211ULL;
+        size_t slot = h & (cap - 1);
+        for (;;) {
+            int64_t c = table[slot];
+            if (c < 0) {
+                table[slot] = k;
+                firsts[k] = i;
+                codes[i] = k;
+                ++k;
+                break;
+            }
+            if (memcmp(keys + firsts[c] * width, key, (size_t)width) == 0) {
+                codes[i] = c;
+                break;
+            }
+            slot = (slot + 1) & (cap - 1);
+        }
+    }
+    return k;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
