@@ -16,10 +16,13 @@
 // Build: make -C velocyto_tpu/native   (produces libvtpu.so, loaded via ctypes)
 
 #include <algorithm>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <map>
+#include <mutex>
 #include <queue>
 #include <string>
 #include <thread>
@@ -70,70 +73,168 @@ void vtpu_balance_knn(const int64_t* dsi, const double* dist,
 // BGZF + BAM decoder
 // ---------------------------------------------------------------------------
 
+// BGZF blocks are independently deflate-compressed, so decompression is
+// pipelined: worker threads read blocks from the file (sequentially,
+// under the handle lock), inflate them in parallel, and the consumer
+// reassembles the decoded stream in block order.  On a 2-core host this
+// overlaps inflate with the BAM record parse and the python counting
+// work above it.
 struct BamHandle {
     FILE* fp = nullptr;
-    // inflater state over BGZF blocks
-    std::vector<uint8_t> inbuf;     // compressed read buffer
-    size_t in_pos = 0, in_len = 0;
     std::vector<uint8_t> buf;       // decoded byte stream (rolling)
     size_t buf_pos = 0;             // consume cursor into buf
-    bool eof = false;
     std::vector<std::string> refs;
     std::vector<int64_t> ref_len;
+    // inflate pipeline
+    std::mutex mu;
+    std::condition_variable cv_out;   // consumer: next block ready / eof
+    std::condition_variable cv_room;  // workers: reorder window has room
+    std::map<uint64_t, std::vector<uint8_t>> ready;  // seq -> decoded bytes
+    uint64_t seq_read = 0;          // next block sequence number to assign
+    uint64_t seq_out = 0;           // next sequence the consumer needs
+    bool file_eof = false;
+    bool perr = false;              // pipeline hard error
+    bool stop = false;
+    std::vector<std::thread> workers;
 };
 
-// Inflate the next BGZF block(s) until `buf` holds >= want bytes past buf_pos
-// or EOF.  Returns false on hard error.
+static const uint64_t BGZF_WINDOW = 64;   // max in-flight blocks (<= 4 MiB)
+
+// Read one BGZF block's compressed payload (+ trailing crc32/isize).
+// Caller holds h->mu.  Returns 1 on success, 0 at EOF, -1 on error.
+static int read_block_locked(BamHandle* h, std::vector<uint8_t>& cdata,
+                             int& cdata_len) {
+    uint8_t hdr[18];
+    size_t got = fread(hdr, 1, 18, h->fp);
+    if (got == 0) return 0;
+    if (got < 18 || hdr[0] != 0x1f || hdr[1] != 0x8b) return -1;
+    const uint16_t xlen = hdr[10] | (hdr[11] << 8);
+    std::vector<uint8_t> extra(xlen);
+    // 6 bytes of the extra field were already consumed into hdr[12..17]
+    memcpy(extra.data(), hdr + 12, xlen < 6 ? xlen : 6);
+    if (xlen > 6 &&
+        fread(extra.data() + 6, 1, xlen - 6, h->fp) != (size_t)(xlen - 6))
+        return -1;
+    int bsize = -1;
+    for (size_t p = 0; p + 4 <= extra.size();) {
+        const uint8_t si1 = extra[p], si2 = extra[p + 1];
+        const uint16_t slen = extra[p + 2] | (extra[p + 3] << 8);
+        if (si1 == 'B' && si2 == 'C' && slen == 2)
+            bsize = (extra[p + 4] | (extra[p + 5] << 8)) + 1;
+        p += 4 + slen;
+    }
+    if (bsize < 0) return -1;
+    cdata_len = bsize - 18 - xlen + 6 - 8;
+    if (cdata_len < 0) return -1;
+    cdata.resize(cdata_len + 8);
+    if (fread(cdata.data(), 1, cdata.size(), h->fp) != cdata.size())
+        return -1;
+    return 1;
+}
+
+static void inflate_worker(BamHandle* h) {
+    for (;;) {
+        std::vector<uint8_t> cdata;
+        int clen = 0;
+        uint64_t myseq;
+        {
+            std::unique_lock<std::mutex> lk(h->mu);
+            h->cv_room.wait(lk, [&] {
+                return h->stop || h->perr || h->file_eof ||
+                       h->seq_read - h->seq_out < BGZF_WINDOW;
+            });
+            if (h->stop || h->perr || h->file_eof) return;
+            const int r = read_block_locked(h, cdata, clen);
+            if (r <= 0) {
+                if (r < 0) h->perr = true;
+                h->file_eof = true;
+                h->cv_out.notify_all();
+                h->cv_room.notify_all();
+                return;
+            }
+            myseq = h->seq_read++;
+        }
+        uint32_t isize;
+        memcpy(&isize, cdata.data() + clen + 4, 4);
+        std::vector<uint8_t> out;
+        bool bad = false;
+        if (isize > (1u << 16)) {        // BGZF blocks are <= 64 KiB
+            bad = true;
+        } else if (isize > 0) {          // isize == 0: EOF marker block
+            out.resize(isize);
+            z_stream zs;
+            memset(&zs, 0, sizeof zs);
+            if (inflateInit2(&zs, -15) != Z_OK) {
+                bad = true;
+            } else {
+                zs.next_in = cdata.data();
+                zs.avail_in = clen;
+                zs.next_out = out.data();
+                zs.avail_out = isize;
+                const int r = inflate(&zs, Z_FINISH);
+                inflateEnd(&zs);
+                if (r != Z_STREAM_END) bad = true;
+            }
+        }
+        std::lock_guard<std::mutex> lk(h->mu);
+        if (bad) {
+            h->perr = true;
+            h->cv_out.notify_all();
+            h->cv_room.notify_all();
+            return;
+        }
+        h->ready.emplace(myseq, std::move(out));
+        h->cv_out.notify_all();
+    }
+}
+
+static void start_pipeline(BamHandle* h) {
+    int n = 0;
+    if (const char* env = getenv("VTPU_INFLATE_THREADS")) n = atoi(env);
+    if (n <= 0) {
+        const unsigned hw = std::thread::hardware_concurrency();
+        n = (int)std::min(4u, hw ? hw : 2u);
+    }
+    for (int i = 0; i < n; ++i)
+        h->workers.emplace_back(inflate_worker, h);
+}
+
+static void stop_pipeline(BamHandle* h) {
+    {
+        std::lock_guard<std::mutex> lk(h->mu);
+        h->stop = true;
+        h->cv_room.notify_all();
+        h->cv_out.notify_all();
+    }
+    for (auto& t : h->workers) t.join();
+    h->workers.clear();
+}
+
+// Append decoded blocks to `buf` until it holds >= want bytes past buf_pos
+// or the stream is exhausted.  Returns false on hard error.
 static bool fill(BamHandle* h, size_t want) {
     // compact
     if (h->buf_pos > (1u << 20)) {
         h->buf.erase(h->buf.begin(), h->buf.begin() + h->buf_pos);
         h->buf_pos = 0;
     }
-    while (h->buf.size() - h->buf_pos < want && !h->eof) {
-        // read one BGZF block: 18-byte header with BSIZE
-        uint8_t hdr[18];
-        size_t got = fread(hdr, 1, 18, h->fp);
-        if (got == 0) { h->eof = true; break; }
-        if (got < 18 || hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
-        const uint16_t xlen = hdr[10] | (hdr[11] << 8);
-        // parse extra subfields to find BSIZE
-        std::vector<uint8_t> extra(xlen);
-        // we already consumed 6 bytes of the extra field in hdr[12..17]
-        memcpy(extra.data(), hdr + 12, xlen < 6 ? xlen : 6);
-        if (xlen > 6 &&
-            fread(extra.data() + 6, 1, xlen - 6, h->fp) != (size_t)(xlen - 6))
-            return false;
-        int bsize = -1;
-        for (size_t p = 0; p + 4 <= extra.size();) {
-            const uint8_t si1 = extra[p], si2 = extra[p + 1];
-            const uint16_t slen = extra[p + 2] | (extra[p + 3] << 8);
-            if (si1 == 'B' && si2 == 'C' && slen == 2)
-                bsize = (extra[p + 4] | (extra[p + 5] << 8)) + 1;
-            p += 4 + slen;
+    while (h->buf.size() - h->buf_pos < want) {
+        std::vector<uint8_t> chunk;
+        {
+            std::unique_lock<std::mutex> lk(h->mu);
+            h->cv_out.wait(lk, [&] {
+                return h->perr || h->ready.count(h->seq_out) ||
+                       (h->file_eof && h->seq_out >= h->seq_read);
+            });
+            if (h->perr) return false;
+            auto it = h->ready.find(h->seq_out);
+            if (it == h->ready.end()) break;   // EOF, fully drained
+            chunk = std::move(it->second);
+            h->ready.erase(it);
+            ++h->seq_out;
+            h->cv_room.notify_all();
         }
-        if (bsize < 0) return false;
-        const int cdata_len = bsize - 18 - xlen + 6 - 8;
-        if (cdata_len < 0) return false;
-        std::vector<uint8_t> cdata(cdata_len + 8);
-        if (fread(cdata.data(), 1, cdata.size(), h->fp) != cdata.size())
-            return false;
-        uint32_t isize;
-        memcpy(&isize, cdata.data() + cdata_len + 4, 4);
-        if (isize == 0) continue;  // EOF marker block
-        if (isize > 1u << 16) return false;  // BGZF blocks are <= 64 KiB
-        const size_t off = h->buf.size();
-        h->buf.resize(off + isize);
-        z_stream zs;
-        memset(&zs, 0, sizeof zs);
-        if (inflateInit2(&zs, -15) != Z_OK) return false;
-        zs.next_in = cdata.data();
-        zs.avail_in = cdata_len;
-        zs.next_out = h->buf.data() + off;
-        zs.avail_out = isize;
-        const int r = inflate(&zs, Z_FINISH);
-        inflateEnd(&zs);
-        if (r != Z_STREAM_END) return false;
+        h->buf.insert(h->buf.end(), chunk.begin(), chunk.end());
     }
     return true;
 }
@@ -150,26 +251,27 @@ void* vtpu_bam_open(const char* path) {
     BamHandle* h = new BamHandle();
     h->fp = fopen(path, "rb");
     if (!h->fp) { delete h; return nullptr; }
+    start_pipeline(h);
     char magic[4];
     if (!take(h, magic, 4) || memcmp(magic, "BAM\x01", 4) != 0) {
-        fclose(h->fp); delete h; return nullptr;
+        stop_pipeline(h); fclose(h->fp); delete h; return nullptr;
     }
     int32_t l_text;
-    if (!take(h, &l_text, 4)) { fclose(h->fp); delete h; return nullptr; }
+    if (!take(h, &l_text, 4)) { stop_pipeline(h); fclose(h->fp); delete h; return nullptr; }
     std::vector<char> text(l_text);
     if (l_text && !take(h, text.data(), l_text)) {
-        fclose(h->fp); delete h; return nullptr;
+        stop_pipeline(h); fclose(h->fp); delete h; return nullptr;
     }
     int32_t n_ref;
-    if (!take(h, &n_ref, 4)) { fclose(h->fp); delete h; return nullptr; }
+    if (!take(h, &n_ref, 4)) { stop_pipeline(h); fclose(h->fp); delete h; return nullptr; }
     for (int32_t i = 0; i < n_ref; ++i) {
         int32_t l_name, l_ref;
-        if (!take(h, &l_name, 4)) { fclose(h->fp); delete h; return nullptr; }
+        if (!take(h, &l_name, 4)) { stop_pipeline(h); fclose(h->fp); delete h; return nullptr; }
         std::vector<char> nm(l_name);
         if (!take(h, nm.data(), l_name)) {
-            fclose(h->fp); delete h; return nullptr;
+            stop_pipeline(h); fclose(h->fp); delete h; return nullptr;
         }
-        if (!take(h, &l_ref, 4)) { fclose(h->fp); delete h; return nullptr; }
+        if (!take(h, &l_ref, 4)) { stop_pipeline(h); fclose(h->fp); delete h; return nullptr; }
         h->refs.emplace_back(nm.data());
         h->ref_len.push_back(l_ref);
     }
@@ -178,6 +280,7 @@ void* vtpu_bam_open(const char* path) {
 
 void vtpu_bam_close(void* vh) {
     BamHandle* h = (BamHandle*)vh;
+    stop_pipeline(h);
     if (h->fp) fclose(h->fp);
     delete h;
 }
