@@ -188,9 +188,16 @@ class SoaEngine:
         Returns (seg_start, seg_end, seg_read(global row id), counts),
         grouped contiguously per read in read_idx order."""
         ns = rb.n_segs[read_idx]
-        m = np.arange(rb.seg_start.shape[1])[None, :] < ns[:, None]
-        starts = rb.seg_start[read_idx][m]
-        ends = rb.seg_end[read_idx][m]
+        w = int(ns.max()) if len(ns) else 1
+        if w == 1 and len(ns) and ns.min() == 1:
+            # all single-segment (the dominant case): plain column gather
+            return (rb.seg_start[read_idx, 0], rb.seg_end[read_idx, 0],
+                    read_idx, ns)
+        cols = np.arange(w)
+        m = cols[None, :] < ns[:, None]
+        rows = read_idx[:, None]
+        starts = rb.seg_start[rows, cols[None, :]][m]
+        ends = rb.seg_end[rows, cols[None, :]][m]
         seg_read = np.repeat(read_idx, ns)
         return starts, ends, seg_read, ns
 
