@@ -26,7 +26,11 @@ if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
     try:
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Cache EVERY executable: on remotely-attached chips the local
+        # compile-time measurement misses the server-side compile cost
+        # (a >1s-threshold left the expensive entries uncached).
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
 
