@@ -3,16 +3,23 @@
 This is the kernel behind estimate_transition_prob -- the step the
 reference documents as "can take a long time ... fully multithreaded"
 (its OpenMP Cython kernel, speedboosted.pyx).  We measure cells/second on
-the default JAX backend (the TPU chip when present) and compare against a
-single-thread vectorized-numpy implementation of the identical math,
-scaled by ncpu/2 to emulate the reference's default OpenMP thread count
-(reference estimation.py:27-30).
+the default JAX backend (the TPU chip when present) and compare against
+the REFERENCE'S OWN COMPILED KERNEL: tests/refkernel builds the generated
+C of speedboosted.pyx with the reference's own flags (-fopenmp
+-ffast-math, /root/reference/setup.py:17-21) and runs it here with the
+reference's default thread count (ncpu/2, velocyto/estimation.py:27-30).
+If that build is unavailable, a single-thread numpy implementation scaled
+by ncpu/2 stands in (flagged in the JSON as baseline="numpy-emulated").
+
+The kernel is HBM-gather bound on TPU; the JSON also reports the achieved
+HBM bandwidth and the fraction of the chip's peak (roofline fraction).
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 """
 import json
 import multiprocessing
+import os
 import sys
 import time
 
@@ -23,6 +30,44 @@ CELLS = 3072
 NN = 512          # sampled neighbors per cell (reference: n_neighbors * sampled_fraction)
 PSC = 1e-10
 BASELINE_CELLS = 48
+
+# HBM peak bandwidth by device kind (GB/s); used for the roofline fraction.
+_PEAK_HBM_GBPS = {
+    "TPU v3": 900.0,
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5": 2765.0,       # v5p
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,
+    "TPU v6e": 1640.0,
+    "TPU7x": 7400.0,
+}
+
+
+def reference_kernel_cells_per_sec(e, d, ixs):
+    """Measure the reference's own compiled OpenMP kernel (or None)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    try:
+        import refkernel
+        if not refkernel.available():
+            return None
+    except Exception:
+        return None
+    n_meas = min(CELLS, 768)   # subset of center cells: enough for a stable rate
+    e_s = np.ascontiguousarray(e[:, :n_meas])
+    d_s = np.ascontiguousarray(d[:, :n_meas])
+    ixs_s = np.ascontiguousarray(np.minimum(ixs[:n_meas], n_meas - 1),
+                                 dtype=np.intp)
+    refkernel.col_delta_cor_partial(e_s[:, :64], d_s[:, :64],
+                                    ixs_s[:64, :16], "sqrt", PSC)  # warm
+    t0 = time.perf_counter()
+    refkernel.col_delta_cor_partial(e_s, d_s, ixs_s, "sqrt", PSC)
+    dt = time.perf_counter() - t0
+    # per-cell cost is O(G * NN), independent of the total cell count, so
+    # the subset rate is the full-size rate
+    return n_meas / dt
 
 
 def numpy_baseline_cells_per_sec(e, d, ixs):
@@ -87,15 +132,34 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     tpu_cells_per_sec = CELLS / dt
 
-    base_st = numpy_baseline_cells_per_sec(e, d, ixs)
-    ncpu = multiprocessing.cpu_count()
-    base_mt = base_st * max(1, ncpu // 2)   # reference default thread count
+    base = reference_kernel_cells_per_sec(e, d, ixs)
+    if base is not None:
+        baseline_kind = "reference-openmp"
+    else:
+        base_st = numpy_baseline_cells_per_sec(e, d, ixs)
+        ncpu = multiprocessing.cpu_count()
+        base = base_st * max(1, ncpu // 2)  # reference default thread count
+        baseline_kind = "numpy-emulated"
+
+    # Roofline: the kernel is bound by the HBM gather of neighbor rows
+    # (CELLS * NN * GENES * 4 bytes) + streaming the center rows; flops
+    # (~8 per gathered element) are negligible next to 1 byte/flop ratio.
+    bytes_accessed = CELLS * NN * GENES * 4 + 3 * CELLS * GENES * 4
+    achieved_gbps = bytes_accessed / dt / 1e9
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAK_HBM_GBPS.items() if k in kind), None)
+    roofline = round(achieved_gbps / peak, 3) if peak else None
 
     print(json.dumps({
         "metric": "coldeltacor_sqrt_partial_cells_per_sec",
         "value": round(tpu_cells_per_sec, 2),
         "unit": "cells/s (G=2000, nn=512)",
-        "vs_baseline": round(tpu_cells_per_sec / base_mt, 2),
+        "vs_baseline": round(tpu_cells_per_sec / base, 2),
+        "baseline": baseline_kind,
+        "baseline_cells_per_sec": round(base, 2),
+        "hbm_gbps_achieved": round(achieved_gbps, 1),
+        "hbm_roofline_fraction": roofline,
+        "device": kind,
     }))
 
 

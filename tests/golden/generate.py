@@ -6,9 +6,10 @@ The reference's native/pysam/loompy dependencies are stubbed:
   - pysam/loompy: import-time stubs (the analysis layer never calls them
     when the VelocytoLoom is attribute-injected)
   - numba.jit: identity decorator (the pure-python loop bodies run as-is)
-  - velocyto.speedboosted: numpy implementations of the colDeltaCor
-    kernels from tests/oracles.py (independently validated against the
-    reference math and against velocyto_tpu's TPU kernels)
+  - velocyto.speedboosted: the reference's OWN compiled OpenMP kernels,
+    extracted from its generated speedboosted.c and built with its own
+    flags (tests/refkernel/build.py).  Falls back to the numpy oracle in
+    tests/oracles.py only if the native build is unavailable.
 
 Run:  python tests/golden/generate.py    (writes tests/golden/golden.npz)
 """
@@ -21,6 +22,7 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(HERE, ".."))          # tests/ (oracles)
 from oracles import col_delta_cor_dense, col_delta_cor_partial  # noqa
+import refkernel  # noqa  (the reference's compiled kernel, tests/refkernel)
 
 
 def _install_stubs():
@@ -69,11 +71,19 @@ def _install_stubs():
     sys.modules["numba"] = numba
 
     sb = types.ModuleType("velocyto.speedboosted")
+    use_native = refkernel.available()
+    print("speedboosted backend:",
+          "reference compiled kernel" if use_native else "numpy oracle")
 
     def _mk(transform, partial):
         # reference signatures: (emat, dmat, out[, ixs], threads[, psc])
         if partial:
             def f(e, d, out, ixs, threads, psc=0.0):
+                if use_native:
+                    out[:] = refkernel.col_delta_cor_partial(
+                        e, d, ixs, transform=transform, psc=psc,
+                        threads=threads)
+                    return
                 # reference layout: scatter corr into the (N, N) matrix at
                 # the neighbor columns (speedboosted.pyx partial kernels)
                 compact = col_delta_cor_partial(e, d, ixs,
@@ -83,6 +93,10 @@ def _install_stubs():
             return f
 
         def f(e, d, out, threads, psc=0.0):
+            if use_native:
+                out[:] = refkernel.col_delta_cor(e, d, transform=transform,
+                                                 psc=psc, threads=threads)
+                return
             out[:] = col_delta_cor_dense(e, d, transform=transform, psc=psc)
         return f
 

@@ -36,6 +36,22 @@ def test_partial_matches_oracle(rng, transform, psc):
     np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("transform,psc", [("sqrt", 1e-10), ("log10", 1.0),
+                                           ("log10", 1e-10)])
+def test_dense_pallas_pad_masking(rng, transform, psc):
+    """The Pallas kernel masks zero-padded gene rows in-kernel, so the
+    single Pallas path is exact for transforms where transform(0) != 0
+    (sqrt/log10 with psc > 0).  Runs in interpret mode off-TPU."""
+    g, n = 37, 29   # deliberately far from the tile sizes: heavy padding
+    e = rng.rand(g, n).astype(np.float64) * 10
+    d = rng.randn(g, n).astype(np.float64)
+    expected = oracle_dense(e, d, transform, psc)
+    got = col_delta_cor(e, d, transform, psc, use_pallas=True)
+    mask = ~np.eye(n, dtype=bool)
+    np.testing.assert_allclose(got[mask], expected[mask], rtol=2e-3,
+                               atol=2e-3)
+
+
 def test_partial_scatter_shape(rng):
     g, n, nn = 11, 13, 4
     e = rng.rand(g, n)

@@ -26,6 +26,65 @@ def test_knn_search_correlation_metric(rng):
     np.testing.assert_allclose(dist, sk_dist, rtol=1e-3, atol=1e-4)
 
 
+def test_knn_search_large_k_sort_path(rng):
+    """The balanced-kNN sight regime (k > 1024 -> full row sort on
+    device) must match sklearn brute-force exactly, tie-breaks included."""
+    n, d, k = 1500, 6, 1200
+    X = rng.randn(n, d)
+    dist, idx = knn_search(X, k)
+    nn = NearestNeighbors(n_neighbors=k, algorithm="brute").fit(X)
+    sk_dist, sk_idx = nn.kneighbors(X)
+    np.testing.assert_array_equal(idx, sk_idx)
+    np.testing.assert_allclose(dist, sk_dist, rtol=1e-6, atol=1e-8)
+
+
+def test_knn_search_large_k_with_ties(rng):
+    """Duplicate points force exact distance ties.  sklearn's order
+    within a tie group is unspecified (argpartition); ours is
+    deterministic (distance, index).  Distances must agree exactly and
+    each tie group must contain the same index set."""
+    base = rng.randn(40, 4)
+    X = np.vstack([base, base[:20]])     # 20 exact duplicates
+    k = 50
+    dist, idx = knn_search(X, k)
+    nn = NearestNeighbors(n_neighbors=k, algorithm="brute").fit(X)
+    sk_dist, sk_idx = nn.kneighbors(X)
+    np.testing.assert_allclose(dist, sk_dist, rtol=0, atol=1e-12)
+    for r in range(X.shape[0]):
+        # per distinct distance value, index sets must match; the last
+        # group may straddle the k boundary, where any same-size subset
+        # of the tied candidates is a valid truncation
+        groups = {}
+        for d, i, sd, si in zip(dist[r], idx[r], sk_dist[r], sk_idx[r]):
+            groups.setdefault(round(d, 9), [set(), set()])
+            groups[round(d, 9)][0].add(i)
+            groups.setdefault(round(sd, 9), [set(), set()])
+            groups[round(sd, 9)][1].add(si)
+        d_bound = round(max(dist[r]), 9)
+        for d, (ours, theirs) in groups.items():
+            if d == d_bound:
+                assert len(ours) == len(theirs), (r, d, ours, theirs)
+            else:
+                assert ours == theirs, (r, d, ours, theirs)
+    # ours additionally guarantees index-ascending order within ties
+    for r in range(X.shape[0]):
+        for c in range(1, k):
+            if dist[r, c] == dist[r, c - 1]:
+                assert idx[r, c] > idx[r, c - 1]
+
+
+def test_knn_search_sharded_matches_single(rng):
+    from velocyto_tpu.ops import knn_search_sharded
+    from velocyto_tpu.parallel import make_mesh
+    mesh = make_mesh()      # 8 virtual CPU devices on the cells axis
+    X = rng.randn(300, 8)
+    for k in (10, 150):     # top_k path and (forced) sort path
+        d1, i1 = knn_search(X, k)
+        d2, i2 = knn_search_sharded(mesh, X, k)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-12)
+
+
 def _ref_balance_loop(dsi, dist, lsi, maxl, k, return_distance,
                       constraint=None):
     """Literal oracle of the greedy balancing semantics

@@ -1,7 +1,8 @@
 from .coldeltacor import (col_delta_cor, col_delta_cor_partial,
                           col_delta_cor_partial_compact,
                           col_delta_cor_partial_sharded)
-from .knn import (knn_search, knn_balance, balance_knn_loop, BalancedKNN,
+from .knn import (knn_search, knn_search_sharded, knn_balance,
+                  balance_knn_loop, BalancedKNN,
                   knn_distance_matrix, make_mutual, take_top, min_n,
                   knn_smooth_weights)
 from .smoothing import (connectivity_to_weights, convolve_by_sparse_weights,
@@ -13,7 +14,8 @@ from .pca import PCA
 __all__ = [
     "col_delta_cor", "col_delta_cor_partial", "col_delta_cor_partial_compact",
     "col_delta_cor_partial_sharded",
-    "knn_search", "knn_balance", "balance_knn_loop", "BalancedKNN",
+    "knn_search", "knn_search_sharded", "knn_balance", "balance_knn_loop",
+    "BalancedKNN",
     "knn_distance_matrix", "make_mutual", "take_top", "min_n",
     "knn_smooth_weights",
     "connectivity_to_weights", "convolve_by_sparse_weights",

@@ -86,7 +86,8 @@ def _corr_from_moments(s1, s2, s3, sb1, sb2, n_genes):
 # ---------------------------------------------------------------------------
 
 def _dense_kernel(e_i_ref, e_ct_ref, d_ct_ref, out_ref, acc_ref,
-                  *, transform: int, psc: float, tc: int, n_genes: int):
+                  *, transform: int, psc: float, tc: int, n_genes: int,
+                  mask_pad: bool):
     """Grid: (I_tiles, C_tiles, K_gene_tiles); K innermost.
 
     e_i_ref:  (GT, TI)  gene-tile of candidate-cell columns
@@ -115,6 +116,14 @@ def _dense_kernel(e_i_ref, e_ct_ref, d_ct_ref, out_ref, acc_ref,
     b = jnp.transpose(d_ct_ref[...])            # (GT, TC)
     delta = e_i[:, None, :] - e_c[:, :, None]   # (GT, TC, TI)
     a = _apply_transform(delta, transform, psc, partial=False)
+    if mask_pad:
+        # zero-padded gene rows would contribute transform(0) != 0 to the
+        # moments (sqrt/log10 with psc > 0); mask them to exactly 0 so the
+        # kernel is exact for every transform/psc combination
+        gt = e_i.shape[0]
+        gid = pl.program_id(2) * gt + \
+            jax.lax.broadcasted_iota(jnp.int32, (gt, 1, 1), 0)
+        a = jnp.where(gid < n_genes, a, 0.0)
     if transform == _SQRT and psc == 0.0:
         a_sq = jnp.abs(delta)                   # a^2 == |delta|: skip the mult
     else:
@@ -132,10 +141,12 @@ def _dense_kernel(e_i_ref, e_ct_ref, d_ct_ref, out_ref, acc_ref,
             float(n_genes))
 
 
-@functools.partial(jax.jit, static_argnames=("transform", "psc"))
+@functools.partial(jax.jit,
+                   static_argnames=("transform", "psc", "interpret"))
 def _col_delta_cor_dense_pallas(emat: jax.Array, dmat: jax.Array,
                                 transform: int = _LINEAR,
-                                psc: float = 0.0) -> jax.Array:
+                                psc: float = 0.0,
+                                interpret: bool = False) -> jax.Array:
     """Dense colDeltaCor on TPU. emat/dmat: (G, N) float32 -> (N, N).
 
     Tile sizes measured fastest on v5e (TI=512/TC=16/GT=256: 33k cells/s
@@ -152,7 +163,9 @@ def _col_delta_cor_dense_pallas(emat: jax.Array, dmat: jax.Array,
     grid = (n_pad // TI, n_pad // TC, g_pad // GT)
     out = pl.pallas_call(
         functools.partial(_dense_kernel, transform=transform, psc=psc,
-                          tc=TC, n_genes=g),
+                          tc=TC, n_genes=g,
+                          mask_pad=not _pad_is_exact(transform, psc)),
+        interpret=interpret,
         grid=grid,
         in_specs=[
             pl.BlockSpec((GT, TI), lambda i, c, k: (k, i),
@@ -177,7 +190,8 @@ def _col_delta_cor_dense_pallas(emat: jax.Array, dmat: jax.Array,
 
 # Zero-padded genes perturb the moments when transform(0) != 0, i.e. for
 # sqrt/log10 with psc > 0 (each padded gene adds transform-of-zero to S1/S2).
-# The pallas path is exact when transform(0) == 0; otherwise use XLA.
+# When padding is not exact the kernel masks the padded gene rows in-VMEM
+# (mask_pad above), so one Pallas path serves every transform/psc.
 def _pad_is_exact(transform: int, psc: float) -> bool:
     if transform == _LINEAR:
         return True
@@ -274,11 +288,13 @@ def col_delta_cor(emat, dmat, transform: str = "linear", psc: float = 0.0,
     tcode = _TRANSFORMS[transform]
     emat = jnp.array(emat, dtype=jnp.float32)
     dmat = jnp.array(dmat, dtype=jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu" and
-                      _pad_is_exact(tcode, psc))
+        use_pallas = on_tpu
     if use_pallas:
-        out = _col_delta_cor_dense_pallas(emat, dmat, tcode, psc)
+        # off-TPU the Pallas path runs in interpret mode (tests only)
+        out = _col_delta_cor_dense_pallas(emat, dmat, tcode, psc,
+                                          interpret=not on_tpu)
     else:
         out = _col_delta_cor_dense_xla(emat, dmat, tcode, psc)
     return np.array(out)

@@ -29,32 +29,60 @@ from .. import native
 # TPU kNN search
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "metric"))
-def _knn_search_impl(data: jax.Array, k: int, block: int = 512,
-                     metric: str = "euclidean") -> Tuple[jax.Array, jax.Array]:
-    """All-pairs kNN of data (N, D) against itself; returns (dist, idx)
-    each (N, k), ascending by distance, self included (distance 0 first,
-    matching sklearn kneighbors on the fit data)."""
-    n, d = data.shape
-    x = data.astype(jnp.float32)
+def _normalize_for_metric(x: jax.Array, metric: str) -> jax.Array:
     if metric == "correlation":
         x = x - jnp.mean(x, axis=1, keepdims=True)
         x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
         # correlation distance = 1 - corr; monotone in squared euclidean of
         # the normalized rows: ||u-v||^2 = 2 (1 - corr)
-    sq = jnp.sum(x * x, axis=1)
-    n_pad = ((n + block - 1) // block) * block
-    x_p = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-    sq_p = jnp.pad(sq, ((0, n_pad - n),))
+    return x
+
+
+def _candidate_block_fn(x: jax.Array, sq: jax.Array, x_p: jax.Array,
+                        sq_p: jax.Array, k: int, block: int, use_sort: bool):
+    """Returns block_fn(r0) -> (d2 (B, k), idx (B, k)), the k nearest
+    candidates for one row block against the full data.
+
+    Small k rides ``lax.top_k``.  Large k (balanced-kNN sight windows,
+    k ~ thousands) makes top_k's O(N*k) selection degenerate, so each
+    row block is fully sorted instead (stable two-key sort, so ties
+    break by index like sklearn) and the first k columns are kept --
+    a vectorized O(N log N) bitonic sort on the VPU.
+    """
+    n, d = x.shape
 
     def block_fn(r0):
         rows = jax.lax.dynamic_slice(x_p, (r0, 0), (block, d))
         rsq = jax.lax.dynamic_slice(sq_p, (r0,), (block,))
         d2 = rsq[:, None] + sq[None, :] - 2.0 * rows @ x.T   # (B, N)
         d2 = jnp.maximum(d2, 0.0)
+        if use_sort:
+            idx = jax.lax.broadcasted_iota(jnp.int32, (block, n), 1)
+            d2_s, idx_s = jax.lax.sort((d2, idx), num_keys=1,
+                                       is_stable=True)
+            return d2_s[:, :k], idx_s[:, :k]
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx
 
+    return block_fn
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block", "metric", "use_sort"))
+def _knn_search_impl(data: jax.Array, k: int, block: int = 512,
+                     metric: str = "euclidean", use_sort: bool = False
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """All-pairs kNN of data (N, D) against itself; returns (dist, idx)
+    each (N, k), ascending by distance, self included (distance 0 first,
+    matching sklearn kneighbors on the fit data)."""
+    n, d = data.shape
+    x = _normalize_for_metric(data.astype(jnp.float32), metric)
+    sq = jnp.sum(x * x, axis=1)
+    n_pad = ((n + block - 1) // block) * block
+    x_p = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    sq_p = jnp.pad(sq, ((0, n_pad - n),))
+
+    block_fn = _candidate_block_fn(x, sq, x_p, sq_p, k, block, use_sort)
     dists2, idx = jax.lax.map(block_fn, jnp.arange(0, n_pad, block))
     dists2 = dists2.reshape(n_pad, k)[:n]
     idx = idx.reshape(n_pad, k)[:n]
@@ -78,16 +106,45 @@ def _chunked_rescore(x64: np.ndarray, idx: np.ndarray,
     return d2
 
 
+def _exact_rescore_topk(x64: np.ndarray, idx: np.ndarray, k: int
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact f64 re-score of candidate indices + lexicographic
+    (distance, index) ordering, truncated to k (matches sklearn's exact
+    brute-force tie-breaking)."""
+    d2 = _chunked_rescore(x64, idx)
+    # lexicographic (distance, index): sort by index first, then
+    # stable by d2
+    by_idx = np.argsort(idx, axis=1, kind="stable")
+    idx = np.take_along_axis(idx, by_idx, axis=1)
+    d2 = np.take_along_axis(d2, by_idx, axis=1)
+    order = np.argsort(d2, axis=1, kind="stable")
+    idx = np.take_along_axis(idx, order, axis=1)[:, :k]
+    d2 = np.take_along_axis(d2, order, axis=1)[:, :k]
+    return d2, idx
+
+
+def _candidate_plan(n: int, k: int, block: int) -> Tuple[int, int, bool]:
+    """(k2, block, use_sort) for the device candidate pass: a +8 margin
+    absorbs f32 rounding at the k boundary; large k switches from top_k
+    to full row sort; the block shrinks with n to bound the (B, N)
+    distance buffer (~256 MB at f32 incl. sort scratch)."""
+    k2 = min(n, k + 8)
+    use_sort = k2 > 1024
+    if n > 65536:
+        block = min(block, 128)
+    elif n > 16384:
+        block = min(block, 256)
+    return k2, max(8, min(block, n)), use_sort
+
+
 def knn_search(data: np.ndarray, k: int, metric: str = "euclidean",
                block: int = 512) -> Tuple[np.ndarray, np.ndarray]:
     """kNN search (self included as the first neighbor).
 
-    Moderate k: TPU blocked-matmul candidate pass (f32) + exact f64
-    host re-score, so ordering matches an exact search.
-    Large k (>~N/3, e.g. balanced-kNN sight windows): `top_k` selection
-    degenerates to O(N*k) on device and the (N, k) transfer dominates,
-    so the exact f64 distance matrix is computed directly on the host -
-    one (N, N) matmul - and argsorted per row.
+    Device blocked-matmul candidate pass (f32; `top_k` for moderate k,
+    full row sort for balanced-kNN sight windows where top_k
+    degenerates) + exact f64 host re-score, so ordering matches an
+    exact search (sklearn brute force) including tie-breaks.
     """
     n = data.shape[0]
     k = min(k, n)
@@ -96,31 +153,85 @@ def knn_search(data: np.ndarray, k: int, metric: str = "euclidean",
         x64 = x64 - x64.mean(axis=1, keepdims=True)
         x64 = x64 / np.linalg.norm(x64, axis=1, keepdims=True)
 
-    if k > max(1024, n // 3) and n <= 16384:
-        sq = np.einsum("nd,nd->n", x64, x64)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * (x64 @ x64.T)
-        np.maximum(d2, 0.0, out=d2)
-        # stable argsort over the natural index order == (distance, index)
-        order = np.argsort(d2, axis=1, kind="stable")[:, :k]
-        d2 = np.take_along_axis(d2, order, axis=1)
-        idx = order
-    else:
-        k2 = min(n, k + 8)
-        block = min(block, max(8, n))
-        _dist, idx = _knn_search_impl(jnp.asarray(data, dtype=jnp.float32),
-                                      k2, block, metric)
-        idx = np.asarray(idx, dtype=np.int64)
-        d2 = _chunked_rescore(x64, idx)
-        # lexicographic (distance, index): sort by index first, then
-        # stable by d2
-        by_idx = np.argsort(idx, axis=1, kind="stable")
-        idx = np.take_along_axis(idx, by_idx, axis=1)
-        d2 = np.take_along_axis(d2, by_idx, axis=1)
-        order = np.argsort(d2, axis=1, kind="stable")
-        idx = np.take_along_axis(idx, order, axis=1)[:, :k]
-        d2 = np.take_along_axis(d2, order, axis=1)[:, :k]
+    k2, block, use_sort = _candidate_plan(n, k, block)
+    _dist, idx = _knn_search_impl(jnp.asarray(data, dtype=jnp.float32),
+                                  k2, block, metric, use_sort)
+    idx = np.asarray(idx, dtype=np.int64)
+    d2, idx = _exact_rescore_topk(x64, idx, k)
     if metric == "correlation":
         dist = d2 / 2.0                            # 1 - corr
+    else:
+        dist = np.sqrt(np.maximum(d2, 0.0))
+    return dist, idx
+
+
+def make_knn_search_sharded(mesh, k: int, block: int = 256,
+                            metric: str = "euclidean", use_sort: bool = True):
+    """Build a shard_map'd kNN candidate pass over `mesh`: query rows
+    sharded on the CELLS axis, data replicated; each shard runs the same
+    blocked distance + sort/top_k merge collective-free.  Returns
+    fn(data (N, D), rows (Np, D), rows_sq (Np,)) -> (d2, idx) (Np, k)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from ..parallel.mesh import CELLS
+
+    def shard_fn(x, rows_shard, sq_shard):
+        m, d = rows_shard.shape
+        n = x.shape[0]
+        sq = jnp.sum(x * x, axis=1)
+        b = max(8, min(block, m))
+        m_pad = ((m + b - 1) // b) * b
+        rows_p = jnp.pad(rows_shard, ((0, m_pad - m), (0, 0)))
+        sq_p = jnp.pad(sq_shard, ((0, m_pad - m),))
+
+        def block_fn(r0):
+            rws = jax.lax.dynamic_slice(rows_p, (r0, 0), (b, d))
+            rsq = jax.lax.dynamic_slice(sq_p, (r0,), (b,))
+            d2 = rsq[:, None] + sq[None, :] - 2.0 * rws @ x.T
+            d2 = jnp.maximum(d2, 0.0)
+            if use_sort:
+                ii = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+                d2_s, idx_s = jax.lax.sort((d2, ii), num_keys=1,
+                                           is_stable=True)
+                return d2_s[:, :k], idx_s[:, :k]
+            neg, ii = jax.lax.top_k(-d2, k)
+            return -neg, ii
+
+        d2, idx = jax.lax.map(block_fn, jnp.arange(0, m_pad, b))
+        return d2.reshape(m_pad, k)[:m], idx.reshape(m_pad, k)[:m]
+
+    return shard_map(shard_fn, mesh=mesh,
+                     in_specs=(P(), P(CELLS, None), P(CELLS)),
+                     out_specs=(P(CELLS, None), P(CELLS, None)))
+
+
+def knn_search_sharded(mesh, data: np.ndarray, k: int,
+                       metric: str = "euclidean", block: int = 256
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-chip kNN search: query rows sharded over the mesh CELLS
+    axis, data replicated (collective-free; scaling rides ICI).  Same
+    exact f64 re-score + tie-breaking as knn_search, so the result is
+    identical to the single-device path."""
+    n = data.shape[0]
+    k = min(k, n)
+    x64 = np.asarray(data, dtype=np.float64)
+    if metric == "correlation":
+        x64 = x64 - x64.mean(axis=1, keepdims=True)
+        x64 = x64 / np.linalg.norm(x64, axis=1, keepdims=True)
+
+    from ..parallel.mesh import CELLS
+    k2, block, use_sort = _candidate_plan(n, k, block)
+    shards = mesh.shape[CELLS]
+    n_pad = ((n + shards - 1) // shards) * shards
+    x32 = _normalize_for_metric(jnp.asarray(data, dtype=jnp.float32), metric)
+    rows_p = jnp.pad(x32, ((0, n_pad - n), (0, 0)))
+    sq_p = jnp.sum(rows_p * rows_p, axis=1)
+    fn = make_knn_search_sharded(mesh, k2, block, metric, use_sort)
+    _d2, idx = fn(x32, rows_p, sq_p)
+    idx = np.asarray(idx, dtype=np.int64)[:n]
+    d2, idx = _exact_rescore_topk(x64, idx, k)
+    if metric == "correlation":
+        dist = d2 / 2.0
     else:
         dist = np.sqrt(np.maximum(d2, 0.0))
     return dist, idx
