@@ -55,8 +55,14 @@ class VelocytoLoom:
     velocity, delta_embedding, ...).
     """
 
-    def __init__(self, loom_filepath: str) -> None:
+    def __init__(self, loom_filepath: str, mesh=None) -> None:
+        """mesh: optional jax.sharding.Mesh (see parallel.make_mesh).
+        When given, the heavy pipeline stages (kNN search,
+        colDeltaCor, embedding shift) shard cells over the mesh CELLS
+        axis and scale across all chips; results are identical to the
+        single-device path."""
         self.loom_filepath = loom_filepath
+        self.mesh = mesh
         ds = loomio.connect(self.loom_filepath)
         self.S = ds.layer["spliced"][:, :]
         self.U = ds.layer["unspliced"][:, :]
@@ -82,8 +88,13 @@ class VelocytoLoom:
 
     def to_hdf5(self, filename: str, **kwargs: Any) -> None:
         """Snapshot every attribute to hdf5 (resume with
-        load_velocyto_hdf5)."""
-        dump_hdf5(self, filename, **kwargs)
+        load_velocyto_hdf5).  The device mesh is runtime state, not
+        data: it is skipped and must be re-attached after loading."""
+        mesh = self.__dict__.pop("mesh", None)
+        try:
+            dump_hdf5(self, filename, **kwargs)
+        finally:
+            self.mesh = mesh
 
     # ------------------------------------------------------------------
     # cell/gene bookkeeping
@@ -592,11 +603,13 @@ class VelocytoLoom:
                     constraint = np.asarray(group_constraint)
                 bknn = BalancedKNN(k=k, sight_k=b_sight, maxl=b_maxl,
                                    metric=metric, constraint=constraint,
-                                   mode="distance", n_jobs=n_jobs)
+                                   mode="distance", n_jobs=n_jobs,
+                                   mesh=getattr(self, "mesh", None))
             else:
                 bknn = BalancedKNN(k=k, sight_k=b_sight, maxl=b_maxl,
                                    metric=metric, mode="distance",
-                                   n_jobs=n_jobs)
+                                   n_jobs=n_jobs,
+                                   mesh=getattr(self, "mesh", None))
             bknn.fit(space)
             self.knn = bknn.kneighbors_graph(mode="distance")
         else:
@@ -604,7 +617,8 @@ class VelocytoLoom:
                 raise ValueError("group_constraint is currently supported "
                                  "only if the argument balanced is set to True")
             self.knn = knn_distance_matrix(space, metric=metric, k=k,
-                                           mode="distance", n_jobs=n_jobs)
+                                           mode="distance", n_jobs=n_jobs,
+                                           mesh=getattr(self, "mesh", None))
         connectivity = (self.knn > 0).astype(float)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
@@ -951,7 +965,13 @@ class VelocytoLoom:
         # non-self neighbors per row and an empty diagonal
         N = embedding.shape[0]
         nn_k = min(n_neighbors + 1, N - 1)
-        _dists, idx = knn_search(embedding, min(nn_k + 1, N))
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from .ops.knn import knn_search_sharded
+            _dists, idx = knn_search_sharded(mesh, embedding,
+                                             min(nn_k + 1, N))
+        else:
+            _dists, idx = knn_search(embedding, min(nn_k + 1, N))
         rows = np.arange(N)
         is_self = idx == rows[:, None]
         first_self = np.where(is_self.any(1), is_self.argmax(1),
@@ -990,10 +1010,10 @@ class VelocytoLoom:
                 transform, psc, hi_dim, hi_dim_t,
                 hi_dim_t_rndm if calculate_randomized else None)
             self.corrcoef = col_delta_cor_partial(emat, d_main, neigh_ixs,
-                                                  tf, psc)
+                                                  tf, psc, mesh=mesh)
             if calculate_randomized:
                 self.corrcoef_random = col_delta_cor_partial(
-                    emat, d_rndm, neigh_ixs, tf, psc)
+                    emat, d_rndm, neigh_ixs, tf, psc, mesh=mesh)
             np.fill_diagonal(self.corrcoef, 0)
             if np.any(np.isnan(self.corrcoef)):
                 self.corrcoef[np.isnan(self.corrcoef)] = 1
@@ -1010,9 +1030,10 @@ class VelocytoLoom:
             tf, emat, d_main, d_rndm = self._transform_for_corr(
                 transform, psc, hi_dim, hi_dim_t,
                 hi_dim_t_rndm if calculate_randomized else None)
-            self.corrcoef = col_delta_cor(emat, d_main, tf, psc)
+            self.corrcoef = col_delta_cor(emat, d_main, tf, psc, mesh=mesh)
             if calculate_randomized:
-                self.corrcoef_random = col_delta_cor(emat, d_rndm, tf, psc)
+                self.corrcoef_random = col_delta_cor(emat, d_rndm, tf, psc,
+                                                     mesh=mesh)
             np.fill_diagonal(self.corrcoef, 0)
             if calculate_randomized:
                 np.fill_diagonal(self.corrcoef_random, 0)
@@ -1071,10 +1092,17 @@ class VelocytoLoom:
 
         emb = self.embedding.astype(np.float32)
         knn_rowsum = knn_dense.sum(1)
-        de = _embedding_shift_blocked(
-            jnp.asarray(emb), jnp.asarray(self.transition_prob,
-                                          dtype=jnp.float32),
-            jnp.asarray(knn_dense), jnp.asarray(knn_rowsum))
+        mesh = getattr(self, "mesh", None)
+
+        def _shift(P):
+            if mesh is not None:
+                return _embedding_shift_sharded(
+                    mesh, emb, P.astype(np.float32), knn_dense, knn_rowsum)
+            return _embedding_shift_blocked(
+                jnp.asarray(emb), jnp.asarray(P, dtype=jnp.float32),
+                jnp.asarray(knn_dense), jnp.asarray(knn_rowsum))
+
+        de = _shift(self.transition_prob)
         self.delta_embedding = np.asarray(de, dtype=np.float64)
 
         if expression_scaling:
@@ -1087,10 +1115,7 @@ class VelocytoLoom:
             self.delta_embedding = self.delta_embedding * self.scaling[:, None]
 
         if hasattr(self, "corrcoef_random"):
-            de_r = _embedding_shift_blocked(
-                jnp.asarray(emb), jnp.asarray(self.transition_prob_random,
-                                              dtype=jnp.float32),
-                jnp.asarray(knn_dense), jnp.asarray(knn_rowsum))
+            de_r = _shift(self.transition_prob_random)
             self.delta_embedding_random = np.asarray(de_r, dtype=np.float64)
             if expression_scaling:
                 estim_delta_rndm = hi_dim.dot(self.transition_prob_random.T) - \
@@ -1588,20 +1613,19 @@ class VelocytoLoom:
 # jitted embedding-shift kernel
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _embedding_shift_blocked(emb: jax.Array, P: jax.Array, K: jax.Array,
-                             K_rowsum: jax.Array, block: int = 128) -> jax.Array:
-    """delta_i = sum_j P_ij * unit(x_j - x_i) - sum_j K_ij unit(..) / sum_j K_ij
-
-    emb: (N, D); P/K: (N, N).  Blocked over i to avoid the reference's
-    dense (D, N, N) unitary-vector tensor (analysis.py:1704-1712).
-    """
+def _embedding_shift_rows(emb: jax.Array, emb_rows: jax.Array,
+                          P_rows: jax.Array, K_rows: jax.Array,
+                          Ks_rows: jax.Array, block: int = 128) -> jax.Array:
+    """Embedding shift for a subset of rows: emb (N, D) full embedding;
+    emb_rows/P_rows/K_rows/Ks_rows hold the M center rows (M may be a
+    shard of N).  Returns (M, D)."""
     n, d = emb.shape
-    n_pad = ((n + block - 1) // block) * block
-    emb_p = jnp.pad(emb, ((0, n_pad - n), (0, 0)))
-    P_p = jnp.pad(P, ((0, n_pad - n), (0, 0)))
-    K_p = jnp.pad(K, ((0, n_pad - n), (0, 0)))
-    Ks_p = jnp.pad(K_rowsum, ((0, n_pad - n),), constant_values=1.0)
+    m = emb_rows.shape[0]
+    m_pad = ((m + block - 1) // block) * block
+    emb_p = jnp.pad(emb_rows, ((0, m_pad - m), (0, 0)))
+    P_p = jnp.pad(P_rows, ((0, m_pad - m), (0, 0)))
+    K_p = jnp.pad(K_rows, ((0, m_pad - m), (0, 0)))
+    Ks_p = jnp.pad(Ks_rows, ((0, m_pad - m),), constant_values=1.0)
 
     def block_fn(i0):
         xi = jax.lax.dynamic_slice(emb_p, (i0, 0), (block, d))
@@ -1616,8 +1640,48 @@ def _embedding_shift_blocked(emb: jax.Array, P: jax.Array, K: jax.Array,
         de = de - jnp.einsum("bn,bnd->bd", Ki, unit) / Ksi[:, None]
         return de
 
-    out = jax.lax.map(block_fn, jnp.arange(0, n_pad, block))
-    return out.reshape(n_pad, d)[:n]
+    out = jax.lax.map(block_fn, jnp.arange(0, m_pad, block))
+    return out.reshape(m_pad, d)[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _embedding_shift_blocked(emb: jax.Array, P: jax.Array, K: jax.Array,
+                             K_rowsum: jax.Array, block: int = 128) -> jax.Array:
+    """delta_i = sum_j P_ij * unit(x_j - x_i) - sum_j K_ij unit(..) / sum_j K_ij
+
+    emb: (N, D); P/K: (N, N).  Blocked over i to avoid the reference's
+    dense (D, N, N) unitary-vector tensor (analysis.py:1704-1712).
+    """
+    return _embedding_shift_rows(emb, emb, P, K, K_rowsum, block)
+
+
+def _embedding_shift_sharded(mesh, emb: np.ndarray, P: np.ndarray,
+                             K: np.ndarray, K_rowsum: np.ndarray,
+                             block: int = 128) -> jax.Array:
+    """Embedding shift with center rows sharded over the mesh CELLS axis
+    (embedding replicated, collective-free)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as SP
+    from .parallel.mesh import CELLS
+
+    n, d = emb.shape
+    shards = mesh.shape[CELLS]
+    n_pad = ((n + shards - 1) // shards) * shards
+    pad = n_pad - n
+    emb_j = jnp.asarray(emb)
+    fn = shard_map(
+        functools.partial(_embedding_shift_rows, block=block),
+        mesh=mesh,
+        in_specs=(SP(), SP(CELLS, None), SP(CELLS, None), SP(CELLS, None),
+                  SP(CELLS)),
+        out_specs=SP(CELLS, None))
+    out = fn(emb_j,
+             jnp.pad(emb_j, ((0, pad), (0, 0))),
+             jnp.pad(jnp.asarray(P), ((0, pad), (0, 0))),
+             jnp.pad(jnp.asarray(K), ((0, pad), (0, 0))),
+             jnp.pad(jnp.asarray(K_rowsum), ((0, pad),),
+                     constant_values=1.0))
+    return out[:n]
 
 
 def knn_query(data: np.ndarray, query: np.ndarray, k: int):

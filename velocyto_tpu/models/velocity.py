@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.mesh import CELLS, GENES
 from ..ops.coldeltacor import _apply_transform, _corr_from_moments, _SQRT
+from ..ops.gamma import _slope_weighted_offset_row
 
 
 class VelocityOutputs(NamedTuple):
@@ -60,21 +61,14 @@ def velocity_step(S_sz: jax.Array, U_sz: jax.Array,
     Ux = smooth(U_sz)
 
     # --- steady-state gamma fit (maxmin extreme-quantile weights, with
-    #     offset; exact box-QP solution, see ops.gamma) ----------------
+    #     offset; the exact box-QP solver shared with ops.gamma /
+    #     VelocytoLoom.fit_gammas(weights="maxmin", fit_offset=True)) ----
     down = jnp.percentile(Sx, 2.0, axis=1)
     up = jnp.percentile(Sx, 98.0, axis=1)
     W = ((Sx <= down[:, None]) | (Sx >= up[:, None])).astype(jnp.float32)
 
-    sw = jnp.sum(W, axis=1)
-    swx = jnp.sum(W * Sx, axis=1)
-    swy = jnp.sum(W * Ux, axis=1)
-    swxx = jnp.sum(W * Sx * Sx, axis=1)
-    swxy = jnp.sum(W * Sx * Ux, axis=1)
-    det = swxx * sw - swx * swx
-    gammas = (swxy * sw - swx * swy) / det
-    q = (swy * swxx - swx * swxy) / det
-    gammas = jnp.clip(gammas, 1e-8, 20.0)
-    q = jnp.clip(q, 0.0, 2.0 * swy / sw)
+    gammas, q = jax.vmap(lambda y, x, w: _slope_weighted_offset_row(
+        y, x, w, fixperc_q=False, limit_gamma=False))(Ux, Sx, W)
     gammas = jnp.where(jnp.isfinite(gammas), gammas, 0.0)
     q = jnp.where(jnp.isfinite(q), q, 0.0)
 

@@ -1,6 +1,7 @@
 from .coldeltacor import (col_delta_cor, col_delta_cor_partial,
                           col_delta_cor_partial_compact,
-                          col_delta_cor_partial_sharded)
+                          col_delta_cor_partial_sharded,
+                          col_delta_cor_dense_sharded)
 from .knn import (knn_search, knn_search_sharded, knn_balance,
                   balance_knn_loop, BalancedKNN,
                   knn_distance_matrix, make_mutual, take_top, min_n,
@@ -13,7 +14,7 @@ from .pca import PCA
 
 __all__ = [
     "col_delta_cor", "col_delta_cor_partial", "col_delta_cor_partial_compact",
-    "col_delta_cor_partial_sharded",
+    "col_delta_cor_partial_sharded", "col_delta_cor_dense_sharded",
     "knn_search", "knn_search_sharded", "knn_balance", "balance_knn_loop",
     "BalancedKNN",
     "knn_distance_matrix", "make_mutual", "take_top", "min_n",

@@ -204,29 +204,42 @@ def _pad_is_exact(transform: int, psc: float) -> bool:
 # Dense variant: blocked XLA fallback (CPU & general psc)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("transform", "psc", "block"))
-def _col_delta_cor_dense_xla(emat: jax.Array, dmat: jax.Array,
-                             transform: int = _LINEAR, psc: float = 0.0,
-                             block: int = 8) -> jax.Array:
+def _dense_xla_rows(emat: jax.Array, e_ctr: jax.Array, d_ctr: jax.Array,
+                    transform: int = _LINEAR, psc: float = 0.0,
+                    block: int = 8) -> jax.Array:
+    """Dense colDeltaCor rows for a subset of center cells.
+
+    emat: (G, N) full expression (candidate columns); e_ctr/d_ctr:
+    (G, M) center-cell expression/displacement.  Returns (M, N).
+    M may be a shard of N (see make_dense_sharded)."""
     g, n = emat.shape
-    n_pad = ((n + block - 1) // block) * block
-    e = jnp.pad(emat.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
-    d = jnp.pad(dmat.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
+    m = e_ctr.shape[1]
+    m_pad = ((m + block - 1) // block) * block
+    e = emat.astype(jnp.float32)
+    e_c_all = jnp.pad(e_ctr.astype(jnp.float32), ((0, 0), (0, m_pad - m)))
+    d_c_all = jnp.pad(d_ctr.astype(jnp.float32), ((0, 0), (0, m_pad - m)))
 
     def block_fn(c0):
-        e_c = jax.lax.dynamic_slice(e, (0, c0), (g, block))     # (G, B)
-        b = jax.lax.dynamic_slice(d, (0, c0), (g, block))       # (G, B)
-        delta = e[:, :, None] - e_c[:, None, :]                  # (G, N', B)
+        e_c = jax.lax.dynamic_slice(e_c_all, (0, c0), (g, block))  # (G, B)
+        b = jax.lax.dynamic_slice(d_c_all, (0, c0), (g, block))    # (G, B)
+        delta = e[:, :, None] - e_c[:, None, :]                  # (G, N, B)
         a = _apply_transform(delta, transform, psc, partial=False)
-        s1 = jnp.sum(a, axis=0).T                                # (B, N')
+        s1 = jnp.sum(a, axis=0).T                                # (B, N)
         s2 = jnp.sum(a * a, axis=0).T
         s3 = jnp.einsum("gnb,gb->bn", a, b)
         sb1 = jnp.sum(b, axis=0)[:, None]
         sb2 = jnp.sum(b * b, axis=0)[:, None]
         return _corr_from_moments(s1, s2, s3, sb1, sb2, float(g))
 
-    blocks = jax.lax.map(block_fn, jnp.arange(0, n_pad, block))
-    return blocks.reshape(n_pad, n_pad)[:n, :n]
+    blocks = jax.lax.map(block_fn, jnp.arange(0, m_pad, block))
+    return blocks.reshape(m_pad, n)[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("transform", "psc", "block"))
+def _col_delta_cor_dense_xla(emat: jax.Array, dmat: jax.Array,
+                             transform: int = _LINEAR, psc: float = 0.0,
+                             block: int = 8) -> jax.Array:
+    return _dense_xla_rows(emat, emat, dmat, transform, psc, block)
 
 
 # ---------------------------------------------------------------------------
@@ -279,15 +292,20 @@ def _partial_impl(e_full: jax.Array, e_ctr: jax.Array, d_ctr: jax.Array,
 # ---------------------------------------------------------------------------
 
 def col_delta_cor(emat, dmat, transform: str = "linear", psc: float = 0.0,
-                  use_pallas: Optional[bool] = None) -> np.ndarray:
+                  use_pallas: Optional[bool] = None,
+                  mesh: Optional[Mesh] = None) -> np.ndarray:
     """Dense colDeltaCor. emat/dmat: (genes, cells). Returns (cells, cells).
 
     Replaces reference colDeltaCor / colDeltaCorSqrt / colDeltaCorLog10
     (velocyto/estimation.py:11-141) via the ``transform`` argument.
+    With ``mesh``, center cells are sharded over the mesh CELLS axis
+    (expression replicated, collective-free).
     """
     tcode = _TRANSFORMS[transform]
     emat = jnp.array(emat, dtype=jnp.float32)
     dmat = jnp.array(dmat, dtype=jnp.float32)
+    if mesh is not None:
+        return col_delta_cor_dense_sharded(mesh, emat, dmat, transform, psc)
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
         use_pallas = on_tpu
@@ -298,6 +316,39 @@ def col_delta_cor(emat, dmat, transform: str = "linear", psc: float = 0.0,
     else:
         out = _col_delta_cor_dense_xla(emat, dmat, tcode, psc)
     return np.array(out)
+
+
+def make_dense_sharded(mesh: Mesh, transform: str = "linear",
+                       psc: float = 0.0, block: int = 8):
+    """shard_map'd dense colDeltaCor over `mesh`: center cells sharded on
+    the CELLS axis, expression replicated.  Signature:
+    (emat (G, N), e_ctr (G, Np), d_ctr (G, Np)) -> (Np, N)."""
+    tcode = _TRANSFORMS[transform]
+    return shard_map(
+        functools.partial(_dense_xla_rows, transform=tcode, psc=psc,
+                          block=block),
+        mesh=mesh,
+        in_specs=(P(), P(None, CELLS), P(None, CELLS)),
+        out_specs=P(CELLS, None),
+    )
+
+
+def col_delta_cor_dense_sharded(mesh: Mesh, emat, dmat,
+                                transform: str = "linear",
+                                psc: float = 0.0) -> np.ndarray:
+    """Multi-chip dense colDeltaCor: rows of the (N, N) output sharded
+    over the mesh CELLS axis.  Full-variant transform semantics (same as
+    the single-device dense kernels)."""
+    e = jnp.array(emat, dtype=jnp.float32)
+    d = jnp.array(dmat, dtype=jnp.float32)
+    g, n = e.shape
+    shards = mesh.shape[CELLS]
+    n_pad = ((n + shards - 1) // shards) * shards
+    e_ctr = jnp.pad(e, ((0, 0), (0, n_pad - n)))
+    d_ctr = jnp.pad(d, ((0, 0), (0, n_pad - n)))
+    fn = make_dense_sharded(mesh, transform, psc)
+    out = fn(e, e_ctr, d_ctr)
+    return np.array(out[:n])
 
 
 def col_delta_cor_partial_compact(emat, dmat, ixs, transform: str = "linear",
@@ -312,11 +363,18 @@ def col_delta_cor_partial_compact(emat, dmat, ixs, transform: str = "linear",
 
 
 def col_delta_cor_partial(emat, dmat, ixs, transform: str = "linear",
-                          psc: float = 0.0) -> np.ndarray:
+                          psc: float = 0.0,
+                          mesh: Optional[Mesh] = None) -> np.ndarray:
     """Sampled-neighborhood colDeltaCor, scattered into a dense (N, N) array
     for API parity with the reference (velocyto/estimation.py:36-62,144-170).
+    With ``mesh``, center cells are sharded over the mesh CELLS axis.
     """
-    compact = col_delta_cor_partial_compact(emat, dmat, ixs, transform, psc)
+    if mesh is not None:
+        compact = col_delta_cor_partial_sharded(mesh, emat, dmat, ixs,
+                                                transform, psc)
+    else:
+        compact = col_delta_cor_partial_compact(emat, dmat, ixs, transform,
+                                                psc)
     n = emat.shape[1]
     out = np.zeros((n, n), dtype=np.float64)
     rows = np.repeat(np.arange(n), np.array(ixs).shape[1])

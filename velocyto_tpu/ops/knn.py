@@ -367,13 +367,14 @@ class BalancedKNN:
     def __init__(self, k: int = 50, sight_k: int = 100, maxl: int = 200,
                  constraint: Optional[np.ndarray] = None,
                  mode: str = "distance", metric: str = "euclidean",
-                 n_jobs: int = 4) -> None:
+                 n_jobs: int = 4, mesh=None) -> None:
         self.k = k
         self.sight_k = sight_k
         self.maxl = maxl
         self.mode = mode
         self.metric = metric
         self.n_jobs = n_jobs
+        self.mesh = mesh      # optional jax Mesh: shard the search
         self.dist_new = self.dsi_new = self.l = None
         self.bknn: Optional[sparse.csr_matrix] = None
         self.constraint = constraint
@@ -395,10 +396,13 @@ class BalancedKNN:
             self.data = X
         if maxl is not None:
             self.maxl = maxl
-        self.dist, self.dsi = knn_search(self.fitdata,
-                                         min(self.sight_k + 1,
-                                             self.fitdata.shape[0]),
-                                         metric=self.metric)
+        kk = min(self.sight_k + 1, self.fitdata.shape[0])
+        if self.mesh is not None:
+            self.dist, self.dsi = knn_search_sharded(self.mesh, self.fitdata,
+                                                     kk, metric=self.metric)
+        else:
+            self.dist, self.dsi = knn_search(self.fitdata, kk,
+                                             metric=self.metric)
         self.dist_new, self.dsi_new, self.l = knn_balance(
             self.dsi, self.dist, maxl=self.maxl, k=self.k,
             constraint=self.constraint)
@@ -456,11 +460,15 @@ class BalancedKNN:
 
 def knn_distance_matrix(data: np.ndarray, metric: Optional[str] = None,
                         k: int = 40, mode: str = "connectivity",
-                        n_jobs: int = 4) -> sparse.csr_matrix:
+                        n_jobs: int = 4, mesh=None) -> sparse.csr_matrix:
     """kNN graph of data (samples, features) *excluding* self, like
     sklearn kneighbors_graph(X=None)."""
     metric = metric or "euclidean"
-    dist, idx = knn_search(data, min(k + 1, data.shape[0]), metric=metric)
+    kk = min(k + 1, data.shape[0])
+    if mesh is not None:
+        dist, idx = knn_search_sharded(mesh, data, kk, metric=metric)
+    else:
+        dist, idx = knn_search(data, kk, metric=metric)
     # drop the self column
     dist, idx = dist[:, 1:], idx[:, 1:]
     n, kk = idx.shape
