@@ -1,0 +1,121 @@
+"""Reference-scale end-to-end estimation benchmark.
+
+Runs the full VelocytoLoom pipeline at the reference's documented
+operating point (reference doc/tutorial/analysis.rst:109,163-164:
+knn_imputation k=500, b_sight=3000, b_maxl=1500; estimate_transition_prob
+n_neighbors=3500, sampled_fraction=0.5) on a synthetic dataset of
+VTPU_BENCH_PIPE_CELLS x VTPU_BENCH_PIPE_GENES (default 20000 x 2000),
+records per-stage wall times, and writes BENCH_scale.json.
+
+Notes on measurement: stage times include host<->device transfer, which
+on the axon development tunnel can be orders of magnitude slower than a
+production PCIe host; the JSON records the backend so numbers are
+interpretable.  Run with JAX_PLATFORM_NAME=cpu for a pure-host sanity
+check.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+CELLS = int(os.environ.get("VTPU_BENCH_PIPE_CELLS", 20000))
+GENES = int(os.environ.get("VTPU_BENCH_PIPE_GENES", 2000))
+K = int(os.environ.get("VTPU_BENCH_PIPE_K", 500))
+B_SIGHT = int(os.environ.get("VTPU_BENCH_PIPE_BSIGHT", 3000))
+B_MAXL = int(os.environ.get("VTPU_BENCH_PIPE_BMAXL", 1500))
+N_NEIGHBORS = int(os.environ.get("VTPU_BENCH_PIPE_NN", 3500))
+SAMPLED_FRACTION = 0.5
+RANDOMIZED = os.environ.get("VTPU_BENCH_PIPE_RANDOMIZED", "1") == "1"
+
+
+def synth(rng, n, g):
+    gamma_true = rng.uniform(0.2, 1.2, g)
+    # low-rank structure so the PCA/kNN stages see realistic manifolds
+    k_lat = 12
+    zl = rng.gamma(2.0, 1.0, (n, k_lat))
+    wl = rng.gamma(2.0, 1.0, (k_lat, g))
+    base = (zl @ wl) * rng.uniform(0.05, 0.6, g)[None, :]
+    S = rng.poisson(base).astype(np.float32).T
+    U = rng.poisson(0.4 * gamma_true[:, None] * base.T + 0.05).astype(
+        np.float32)
+    return S, U
+
+
+def main():
+    import jax
+    import velocyto_tpu as vt
+
+    t_all = time.perf_counter()
+    stages = {}
+
+    def stage(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        stages[name] = round(dt, 2)
+        print(f"# {name}: {dt:.1f}s", flush=True)
+        return out
+
+    rng = np.random.RandomState(0)
+    S, U = stage("synthesize", lambda: synth(rng, CELLS, GENES))
+
+    v = vt.VelocytoLoom.__new__(vt.VelocytoLoom)
+    v.S, v.U, v.A = S, U, np.zeros_like(S)
+    v.initial_cell_size = S.sum(0)
+    v.initial_Ucell_size = U.sum(0)
+    v.ca = {"CellID": np.array([f"c{i}" for i in range(CELLS)])}
+    v.ra = {"Gene": np.array([f"g{i}" for i in range(GENES)])}
+
+    def _norm():
+        v._normalize_S(relative_size=v.initial_cell_size,
+                       target_size=np.mean(v.initial_cell_size))
+        v._normalize_U(relative_size=v.initial_Ucell_size,
+                       target_size=np.mean(v.initial_Ucell_size))
+        v.S_norm = np.log2(v.S_sz + 1)
+    stage("normalize", _norm)
+    stage("pca", lambda: v.perform_PCA(which="S_norm", n_components=50))
+    stage("knn_imputation(k=%d,sight=%d)" % (K, B_SIGHT),
+          lambda: v.knn_imputation(k=K, balanced=True, b_sight=B_SIGHT,
+                                   b_maxl=B_MAXL, n_jobs=16))
+    stage("fit_gammas", lambda: v.fit_gammas())
+    def _vel():
+        v.predict_U()
+        v.calculate_velocity()
+        v.calculate_shift(assumption="constant_velocity")
+        v.extrapolate_cell_at_t(delta_t=1.)
+    stage("velocity", _vel)
+    v.ts = np.ascontiguousarray(v.pcs[:, :2])
+    stage("transition_prob(nn=%d,frac=%.1f,rand=%s)" % (
+        N_NEIGHBORS, SAMPLED_FRACTION, RANDOMIZED),
+        lambda: v.estimate_transition_prob(
+            hidim="Sx_sz", embed="ts", transform="sqrt", knn_random=True,
+            n_neighbors=N_NEIGHBORS, sampled_fraction=SAMPLED_FRACTION,
+            calculate_randomized=RANDOMIZED))
+    stage("embedding_shift",
+          lambda: v.calculate_embedding_shift(sigma_corr=0.05,
+                                              expression_scaling=False))
+    stage("grid_arrows",
+          lambda: v.calculate_grid_arrows(smooth=0.5, steps=(40, 40),
+                                          n_neighbors=100))
+
+    total = time.perf_counter() - t_all
+    assert np.all(np.isfinite(v.delta_embedding)), "non-finite output"
+    result = {
+        "metric": "pipeline_seconds_end_to_end",
+        "value": round(total, 1),
+        "unit": f"s ({CELLS} cells x {GENES} genes, k={K}, "
+                f"b_sight={B_SIGHT}, nn={N_NEIGHBORS})",
+        "backend": jax.default_backend(),
+        "device": jax.devices()[0].device_kind,
+        "stages": stages,
+        "cells_per_sec_end_to_end": round(CELLS / total, 1),
+    }
+    print(json.dumps(result))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_scale.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Multi-host counting driver: feeder processes over barcode ranges,
+merged on the device mesh, must be bit-identical to the serial pass."""
+import numpy as np
+import pytest
+
+from velocyto_tpu.counting.counter import ExInCounter
+from velocyto_tpu.counting.logics import Permissive10X
+from velocyto_tpu.parallel import count_distributed, make_mesh
+
+from test_fastpath import annotation, _random_bam, _cellsort  # noqa: F401
+
+
+def _serial(gtf, bam_cs, bam_pos, bcs):
+    counter = ExInCounter(sampleid="s", logic=Permissive10X,
+                          valid_bcset=set(bcs))
+    counter.peek(bam_pos)
+    counter.read_transcriptmodels(gtf)
+    counter.mark_up_introns([bam_pos], multimap=False)
+    d, order = counter.count([bam_cs], multimap=False, cell_batch_size=5)
+    layers = {k: (np.concatenate(v, axis=1) if v else
+                  np.zeros((len(counter.geneid2ix), 0)))
+              for k, v in d.items()}
+    return layers, order
+
+
+@pytest.fixture
+def fixture(tmp_path, annotation):      # noqa: F811
+    gtf, genes = annotation
+    bam_pos, bcs = _random_bam(tmp_path, genes, seed=11, n_reads=900,
+                               n_cells=10)
+    bam_cs = _cellsort(tmp_path, bam_pos)
+    return gtf, bam_cs, bam_pos, bcs
+
+
+@pytest.mark.parametrize("n_feeders", [2, 3])
+def test_feeders_match_serial(fixture, n_feeders):
+    gtf, bam_cs, bam_pos, bcs = fixture
+    serial_layers, serial_order = _serial(gtf, bam_cs, bam_pos, bcs)
+    layers, order = count_distributed(
+        [bam_cs], gtf, valid_bcs=sorted(bcs), logic_name="Permissive10X",
+        markup_bamfiles=[bam_pos], n_feeders=n_feeders, cell_batch_size=5,
+        mesh=None, in_process=True)
+    assert sorted(order) == sorted(serial_order)
+    ps = np.argsort(np.array(serial_order))
+    pf = np.argsort(np.array(order))
+    total = 0
+    for layer in serial_layers:
+        np.testing.assert_array_equal(layers[layer][:, pf],
+                                      serial_layers[layer][:, ps],
+                                      err_msg=f"layer {layer}")
+        total += int(layers[layer].sum())
+    assert total > 0, "vacuous comparison: nothing counted"
+
+
+def test_feeders_mesh_merge_matches_host(fixture):
+    gtf, bam_cs, bam_pos, bcs = fixture
+    mesh = make_mesh()      # 8 virtual CPU devices
+    l_mesh, o_mesh = count_distributed(
+        [bam_cs], gtf, valid_bcs=sorted(bcs), logic_name="Permissive10X",
+        markup_bamfiles=[bam_pos], n_feeders=2, cell_batch_size=5,
+        mesh=mesh, in_process=True)
+    l_host, o_host = count_distributed(
+        [bam_cs], gtf, valid_bcs=sorted(bcs), logic_name="Permissive10X",
+        markup_bamfiles=[bam_pos], n_feeders=2, cell_batch_size=5,
+        mesh=None, in_process=True)
+    assert o_mesh == o_host
+    for layer in l_host:
+        np.testing.assert_array_equal(l_mesh[layer], l_host[layer])
+
+
+def test_feeders_spawn_processes(fixture):
+    """Real spawned worker processes (the multi-host deployment shape)."""
+    gtf, bam_cs, bam_pos, bcs = fixture
+    serial_layers, serial_order = _serial(gtf, bam_cs, bam_pos, bcs)
+    layers, order = count_distributed(
+        [bam_cs], gtf, valid_bcs=sorted(bcs), logic_name="Permissive10X",
+        markup_bamfiles=[bam_pos], n_feeders=2, cell_batch_size=5,
+        mesh=None, in_process=False)
+    assert sorted(order) == sorted(serial_order)
+    ps = np.argsort(np.array(serial_order))
+    pf = np.argsort(np.array(order))
+    for layer in serial_layers:
+        np.testing.assert_array_equal(layers[layer][:, pf],
+                                      serial_layers[layer][:, ps])

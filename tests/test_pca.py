@@ -21,3 +21,20 @@ def test_pca_explained_variance(rng):
     np.testing.assert_allclose(p.explained_variance_ratio_,
                                sk.explained_variance_ratio_,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_pca_gram_path_equals_svd_path(rng):
+    """Tall data takes the Gram-eigh path; must equal full SVD exactly."""
+    from velocyto_tpu.ops.pca import _pca_impl, _GRAM_RATIO
+    X = rng.randn(300, 40) * rng.gamma(2.0, 2.0, 40)[None, :]
+    assert X.shape[0] > _GRAM_RATIO * X.shape[1]
+    pcs_g, vt_g, ev_g = _pca_impl(X)
+    # force the SVD path by transposing trickery: call the SVD directly
+    mu = X.mean(0, keepdims=True)
+    u, s, vt = np.linalg.svd(X - mu, full_matrices=False)
+    from velocyto_tpu.ops.pca import _svd_flip_vt
+    u, vt = _svd_flip_vt(u, vt)
+    np.testing.assert_allclose(pcs_g, u * s[None, :], rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(vt_g[:40], vt, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(ev_g, s ** 2 / (X.shape[0] - 1),
+                               rtol=1e-10, atol=1e-12)

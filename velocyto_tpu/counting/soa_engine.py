@@ -506,6 +506,9 @@ class SoaEngine:
         stranded = c.logic.stranded
         discordant = c.logic.accept_discordant
         record_parts: List[RecordArrays] = []
+        # non-stranded per-batch strand-overlap telemetry
+        # (reference counter.py:1151-1154)
+        repeats_reads = plus_reads = minus_reads = both_reads = 0
         ckey = rb.chrom_id.astype(np.int64) * 2 + rb.strand
         for k in np.unique(ckey):
             idx = np.flatnonzero(ckey == k)
@@ -529,12 +532,35 @@ class SoaEngine:
                     rb, rescue_idx, c.feature_indexes.get(rev_cs), rev_cs,
                     mol_of_read, pseudo_offset=n))
             else:
-                record_parts.append(self._match_group_soa(
+                repeats_reads += len(idx) - len(keep_idx)
+                part_own = self._match_group_soa(
                     rb, keep_idx, c.feature_indexes.get(rcs), rcs,
-                    mol_of_read, pseudo_offset=0))
-                record_parts.append(self._match_group_soa(
+                    mol_of_read, pseudo_offset=0)
+                part_rev = self._match_group_soa(
                     rb, keep_idx, c.feature_indexes.get(rev_cs), rev_cs,
-                    mol_of_read, pseudo_offset=n))
+                    mol_of_read, pseudo_offset=n)
+                record_parts.append(part_own)
+                record_parts.append(part_rev)
+                own_r = np.unique(part_own.rec_read)
+                rev_r = np.unique(part_rev.rec_read) - n
+                # plus/minus count by FEATURE strand (own group features
+                # share the read strand; reverse group features oppose it)
+                if strand == "+":
+                    plus_reads += len(own_r)
+                    minus_reads += len(rev_r)
+                else:
+                    minus_reads += len(own_r)
+                    plus_reads += len(rev_r)
+                both_reads += len(np.intersect1d(own_r, rev_r,
+                                                 assume_unique=True))
+        if not stranded:
+            logging.debug(f"{repeats_reads} reads in repeat masked regions")
+            logging.debug(f"{plus_reads} reads overlapping with features "
+                          f"on plus strand")
+            logging.debug(f"{minus_reads} reads overlapping with features "
+                          f"on minus strand")
+            logging.debug(f"{both_reads} reads overlapping with features "
+                          f"on both strands")
 
         records = RecordArrays.concatenate(record_parts)
         import os as _os
@@ -556,10 +582,25 @@ class SoaEngine:
                 np.add.at(dict_layers_columns[layer],
                           (genes[sel], mol_bcidx_arr[sel]), 1)
 
-        failures = int(((codes != 0) & (codes != 2)).sum())
+        # categorized molitem-failure telemetry (reference counter.py:854-864)
+        failures = int((codes != 0).sum())
         if n_mol and failures > 0.25 * n_mol:
-            logging.warning(f"More than 25% of molitems trashed "
-                            f"({100 * failures / n_mol:.1f}%)")
+            cnt = np.bincount(codes, minlength=5)
+            logging.warning(
+                f"More than 20% ({100 * failures / n_mol:.1f}%) of "
+                f"molitems trashed, of those:")
+            logging.warning(
+                f"A situation where many genes were compatible with the "
+                f"observation in {100 * cnt[1] / n_mol:.1f} cases")
+            logging.warning(
+                f"No gene is compatible with the observation in "
+                f"{100 * cnt[2] / n_mol:.1f} cases")
+            logging.warning(
+                f"Observation compatible with more genes "
+                f"{100 * cnt[3] / n_mol:.1f} of the cases")
+            logging.warning(
+                f"Situation that were not described by the logic in the "
+                f"{100 * cnt[4] / n_mol:.1f} of the cases")
         return dict_layers_columns
 
     def _mask_filter_soa(self, rb: ReadBatch, idx: np.ndarray, cs: str,
