@@ -240,7 +240,24 @@ def _run(*, bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
         exincounter.read_repeats(repmask)
 
     logging.info(f"Scan {' '.join(bamfile)} to validate intron intervals")
-    exincounter.mark_up_introns(bamfile=bamfile, multimap=multimap)
+    if test:
+        # developer escape hatch (reference _run.py:200-210): cache the
+        # parsed+marked-up counter so repeated debugging runs skip the
+        # GTF/markup passes
+        logging.warning("This place is for developer only!")
+        import pickle
+        if os.path.exists("exincounter_dump.pickle"):
+            logging.debug("exincounter_dump.pickle is being loaded")
+            with open("exincounter_dump.pickle", "rb") as f:
+                exincounter = pickle.load(f)
+        else:
+            logging.debug("exincounter_dump.pickle was not found")
+            logging.debug("Dumping exincounter_dump.pickle BEFORE markup")
+            with open("exincounter_dump.pickle", "wb") as f:
+                pickle.dump(exincounter, f)
+            exincounter.mark_up_introns(bamfile=bamfile, multimap=multimap)
+    else:
+        exincounter.mark_up_introns(bamfile=bamfile, multimap=multimap)
 
     if check_end_process:
         logging.info("Waiting for the bam sorting to finish")

@@ -190,3 +190,22 @@ def count_molitems(molitems: Dict[str, Molitem], logic: Logic,
             continue
         logic.count(molitem, bc2idx[bc], dict_layers_columns, geneid2ix)
     return dict_layers_columns
+
+
+def markup_features(reads, annotations) -> Dict[str, "FeatureIndex"]:
+    """Intron-validation markup pass over (sorted) reads (reference
+    counter.py:622-699): non-spliced reads spanning an exon-intron
+    boundary set Feature.is_validated on the intron."""
+    from itertools import chain
+    feature_indexes: Dict[str, FeatureIndex] = {}
+    for cs, tm_dict in annotations.items():
+        feature_indexes[cs] = FeatureIndex(
+            sorted(chain.from_iterable(tm.list_features
+                                       for tm in tm_dict.values())))
+    for r in reads:
+        if r.is_spliced:
+            continue
+        cs = r.chrom + r.strand
+        if cs in feature_indexes:
+            feature_indexes[cs].mark_overlapping_ivls(r)
+    return feature_indexes

@@ -63,21 +63,31 @@ def factorize(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return u, inv
 
 
-_POOL_ENGINE = None   # fork-inherited engine for pcount workers
+_POOL_ENGINE = None   # per-worker engine for pcount workers
+
+
+def _init_pool_worker(counter_bytes: bytes) -> None:
+    """pcount worker initializer (spawn context): rebuild the engine from
+    the pickled ExInCounter.  Spawn, not fork - forking a JAX-threaded
+    parent risks deadlock in the child (POSIX forbids non-async-signal-
+    safe work after fork of a multithreaded process)."""
+    global _POOL_ENGINE
+    import pickle
+    _POOL_ENGINE = SoaEngine(pickle.loads(counter_bytes))
 
 
 def _pool_count_range(bamfiles: List[str], multimap: bool,
                       cell_batch_size: int, wid: int, nproc: int):
     """pcount worker: runs the serial counting pass over the cells this
-    worker owns (stable-hash partition), against the fork-inherited
+    worker owns (stable-hash partition), against the initializer-built
     engine.  Returns concatenated per-layer matrices + column order +
     per-file marks (+ the global cell order from worker 0)."""
     eng = _POOL_ENGINE
     dla, order, marks, glob = eng._count_impl(
         bamfiles, multimap, cell_batch_size, owner=(wid, nproc),
         track_global=(wid == 0),
-        batch_reads=1 << 16)   # small decode batches: forked children pay
-                               # first-touch/COW faults per fresh page
+        batch_reads=1 << 16)   # small decode batches: fresh processes pay
+                               # first-touch faults per page
     n_genes = len(eng.c.geneid2ix)
     mats = {layer: (np.concatenate(arrs, axis=1) if arrs else
                     np.zeros((n_genes, 0), dtype=eng.c.loom_numeric_dtype))
@@ -394,19 +404,20 @@ class SoaEngine:
             return self.count(bamfiles, multimap, cell_batch_size)
         import concurrent.futures as cf
         import multiprocessing as mp
+        import pickle
         c = self.c
         bamfiles = list(bamfiles)
 
-        global _POOL_ENGINE
-        _POOL_ENGINE = self
-        ctx = mp.get_context("fork")
+        payload = pickle.dumps(self.c, protocol=pickle.HIGHEST_PROTOCOL)
+        ctx = mp.get_context("spawn")
         with cf.ProcessPoolExecutor(max_workers=n_processes,
-                                    mp_context=ctx) as pool:
+                                    mp_context=ctx,
+                                    initializer=_init_pool_worker,
+                                    initargs=(payload,)) as pool:
             futs = [pool.submit(_pool_count_range, bamfiles, multimap,
                                 cell_batch_size, w, n_processes)
                     for w in range(n_processes)]
             results = [f.result() for f in futs]
-        _POOL_ENGINE = None
 
         layers = list(c.logic.layers)
         n_genes = len(c.geneid2ix)
@@ -563,16 +574,13 @@ class SoaEngine:
                           f"on both strands")
 
         records = RecordArrays.concatenate(record_parts)
-        import os as _os
-        if _os.environ.get("VELOCYTO_DEVICE_CLASSIFY") == "1":
-            # TPU-resident classification (device_classify.py): sort +
-            # segment reductions compile to one XLA program
-            from .device_classify import assemble_and_classify_device
-            actions, genes, codes = assemble_and_classify_device(
-                records, c.logic, n_mol)
-        else:
-            actions, genes, codes = assemble_and_classify(records, c.logic,
-                                                          n_mol)
+        # Classification stays on the host: a device-resident variant
+        # (jitted sort + segment reductions) was measured 5-100x SLOWER
+        # at realistic batch sizes (5k-200k molecules) - the host pass is
+        # a few ms and the records transfer alone dwarfs it - so it was
+        # removed (r2; formerly counting/device_classify.py).
+        actions, genes, codes = assemble_and_classify(records, c.logic,
+                                                      n_mol)
         counted = actions != NONE
         for action_code, layer in _LAYER_OF_ACTION.items():
             if layer not in dict_layers_columns:

@@ -2,6 +2,11 @@
 
 Transcript-coordinate walks to the 3' end of a model, used by logic
 extensions and QC; not part of the main counting path.
+
+NOTE: transcribed from the reference for semantic parity -- the index
+arithmetic of the 3'-walk IS the specification (off-by-one choices in
+exin_no stepping are behavior, not style), so this file intentionally
+mirrors the reference line-by-line.
 """
 from __future__ import annotations
 

@@ -299,6 +299,12 @@ def balance_knn_loop(dsi: np.ndarray, dist: np.ndarray, lsi: np.ndarray,
     visited hub-first (lsi); each keeps its first k admissible neighbors,
     where a neighbor is admissible if its in-degree is still < maxl (and,
     if constrained, shares the node's group); exhausted sights self-fill.
+
+    The numpy fallback below is TRANSCRIBED from the reference numba
+    loop for semantic parity: the greedy visit order and its tie-breaks
+    ARE the specification, so the loop intentionally matches it
+    line-by-line.  The production path is the from-scratch C++
+    implementation (native/vtpu.cpp).
     """
     if native.available():
         return native.balance_knn_loop(dsi, dist, lsi, maxl, k,
