@@ -124,3 +124,66 @@ def test_embedding_shift_matches_dense_oracle(synthetic_loom):
         jnp.asarray(emb, jnp.float32), jnp.asarray(P, jnp.float32),
         jnp.asarray(knn, jnp.float32), jnp.asarray(knn.sum(1), jnp.float32)))
     np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_embedding_shift_compact_equals_dense():
+    """knn_random mode: the compact O(N*nn) embedding-shift path must
+    reproduce the dense-matrix path (incl. expression scaling and the
+    randomized control)."""
+    import velocyto_tpu as vt
+    rng = np.random.default_rng(5)
+    n, g = 150, 60
+    S = rng.poisson(rng.gamma(2., 2., (g, n))).astype(np.float32)
+    U = rng.poisson(0.3 * S + 0.1).astype(np.float32)
+
+    def build():
+        v = vt.VelocytoLoom.__new__(vt.VelocytoLoom)
+        v.S, v.U, v.A = S.copy(), U.copy(), np.zeros_like(S)
+        v.initial_cell_size = S.sum(0)
+        v.initial_Ucell_size = U.sum(0)
+        v.ca = {"CellID": np.array([f"c{i}" for i in range(n)])}
+        v.ra = {"Gene": np.array([f"g{i}" for i in range(g)])}
+        v._normalize_S(relative_size=v.initial_cell_size,
+                       target_size=v.initial_cell_size.mean())
+        v._normalize_U(relative_size=v.initial_Ucell_size,
+                       target_size=v.initial_Ucell_size.mean())
+        v.S_norm = np.log2(v.S_sz + 1)
+        v.perform_PCA(which="S_norm", n_components=10)
+        v.knn_imputation(k=10, balanced=False, n_jobs=1)
+        v.fit_gammas(weighted=True, weights="maxmin_diag", fit_offset=True,
+                     limit_gamma=False)
+        v.predict_U()
+        v.calculate_velocity()
+        v.calculate_shift(assumption="constant_velocity")
+        v.extrapolate_cell_at_t(delta_t=1.)
+        v.ts = np.ascontiguousarray(v.pcs[:, :2])
+        v.estimate_transition_prob(hidim="Sx_sz", embed="ts",
+                                   transform="sqrt", knn_random=True,
+                                   sampled_fraction=0.5,
+                                   calculate_randomized=True)
+        return v
+
+    v_compact = build()
+    v_dense = build()
+    # force the dense fallback by invalidating the compact state
+    del v_dense._compact_corr
+    for expr in (False, True):
+        v_compact.calculate_embedding_shift(sigma_corr=0.05,
+                                            expression_scaling=expr)
+        v_dense.calculate_embedding_shift(sigma_corr=0.05,
+                                          expression_scaling=expr)
+        np.testing.assert_allclose(v_compact.transition_prob,
+                                   v_dense.transition_prob,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(v_compact.transition_prob_random,
+                                   v_dense.transition_prob_random,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(v_compact.delta_embedding,
+                                   v_dense.delta_embedding,
+                                   rtol=1e-3, atol=2e-5)
+        np.testing.assert_allclose(v_compact.delta_embedding_random,
+                                   v_dense.delta_embedding_random,
+                                   rtol=1e-3, atol=2e-5)
+        if expr:
+            np.testing.assert_allclose(v_compact.scaling, v_dense.scaling,
+                                       rtol=1e-3, atol=2e-4)

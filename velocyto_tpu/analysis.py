@@ -1009,22 +1009,44 @@ class VelocytoLoom:
             tf, emat, d_main, d_rndm = self._transform_for_corr(
                 transform, psc, hi_dim, hi_dim_t,
                 hi_dim_t_rndm if calculate_randomized else None)
-            self.corrcoef = col_delta_cor_partial(emat, d_main, neigh_ixs,
-                                                  tf, psc, mesh=mesh)
-            if calculate_randomized:
-                self.corrcoef_random = col_delta_cor_partial(
-                    emat, d_rndm, neigh_ixs, tf, psc, mesh=mesh)
-            np.fill_diagonal(self.corrcoef, 0)
-            if np.any(np.isnan(self.corrcoef)):
-                self.corrcoef[np.isnan(self.corrcoef)] = 1
+            # compact-first: the kernels return the (N, nn) sampled form;
+            # the dense (N, N) scatter keeps reference API parity, while
+            # the compact arrays let calculate_embedding_shift skip the
+            # O(N^2) dense products entirely
+            from .ops.coldeltacor import (col_delta_cor_partial_compact,
+                                          col_delta_cor_partial_sharded)
+
+            def _compact(d):
+                if mesh is not None:
+                    return col_delta_cor_partial_sharded(
+                        mesh, emat, d, neigh_ixs, tf, psc)
+                return col_delta_cor_partial_compact(emat, d, neigh_ixs,
+                                                     tf, psc)
+
+            def _fix_and_scatter(compact):
+                # reference nan handling (analysis.py:1604-1614): the
+                # diagonal is never sampled (neighbors exclude self), so
+                # fill_diagonal(0) is the scatter's implicit zero
+                had_nan = bool(np.any(np.isnan(compact)))
+                if had_nan:
+                    compact[np.isnan(compact)] = 1
+                dense = np.zeros((N, N), dtype=np.float64)
+                dense[np.arange(N)[:, None], neigh_ixs] = compact
+                return compact, dense, had_nan
+
+            cm, self.corrcoef, had_nan = _fix_and_scatter(
+                np.asarray(_compact(d_main), dtype=np.float64))
+            if had_nan:
                 logging.warning(
                     "Nans encountered in corrcoef and corrected to 1s. "
                     "If not identical cells were present it is probably "
                     "a small isolated cluster converging after imputation.")
+            self._compact_ixs = neigh_ixs.astype(np.int64)
+            self._compact_corr = cm
             if calculate_randomized:
-                np.fill_diagonal(self.corrcoef_random, 0)
-                if np.any(np.isnan(self.corrcoef_random)):
-                    self.corrcoef_random[np.isnan(self.corrcoef_random)] = 1
+                cr, self.corrcoef_random, _ = _fix_and_scatter(
+                    np.asarray(_compact(d_rndm), dtype=np.float64))
+                self._compact_corr_random = cr
         else:
             self.corr_calc = "full"
             tf, emat, d_main, d_rndm = self._transform_for_corr(
@@ -1072,15 +1094,40 @@ class VelocytoLoom:
         raise NotImplementedError(
             f"transform={transform} is not a valid parameter")
 
+    def _compact_state_valid(self) -> bool:
+        """Whether the compact (N, nn) correlation state stored by
+        estimate_transition_prob still corresponds to self.corrcoef
+        (spot-checked on a random sample of scattered entries)."""
+        ixs = getattr(self, "_compact_ixs", None)
+        cm = getattr(self, "_compact_corr", None)
+        if ixs is None or cm is None or self.corr_calc != "knn_random":
+            return False
+        n = self.corrcoef.shape[0]
+        if ixs.shape != cm.shape or ixs.shape[0] != n:
+            return False
+        rng = np.random.RandomState(0)
+        r = rng.randint(0, n, size=min(256, n))
+        c = rng.randint(0, ixs.shape[1], size=len(r))
+        return bool(np.array_equal(self.corrcoef[r, ixs[r, c]], cm[r, c]))
+
     def calculate_embedding_shift(self, sigma_corr: float = 0.05,
                                   expression_scaling: bool = True,
                                   scaling_penalty: float = 1.0) -> None:
         """Project velocity onto the embedding (reference :1670-1733).
-        The O(N^2) unit-vector contraction runs as a blocked jitted XLA
-        kernel instead of materializing the (2, N, N) dense tensor."""
+
+        knn_random mode runs entirely on the compact (N, nn) sampled
+        form (softmax, unit-vector contraction, expression scaling) --
+        only the API-parity dense transition_prob is materialized by
+        scatter.  Full mode (and externally modified corrcoef) uses the
+        blocked dense kernel; both avoid the reference's (2, N, N)
+        unitary-vector tensor (analysis.py:1704-1712).
+        """
         if self.corr_calc not in ("full", "knn_random"):
             raise NotImplementedError(
                 f"Weird value self.corr_calc={self.corr_calc}")
+        if self._compact_state_valid():
+            return self._calculate_embedding_shift_compact(
+                sigma_corr, expression_scaling, scaling_penalty)
         knn_dense = self.embedding_knn.toarray().astype(np.float32)
         self.transition_prob = np.exp(self.corrcoef / sigma_corr) * knn_dense
         self.transition_prob /= self.transition_prob.sum(1)[:, None]
@@ -1123,6 +1170,63 @@ class VelocytoLoom:
                 cos_proj_rndm = (self.delta_S_rndm * estim_delta_rndm).sum(0) / \
                     np.sqrt((estim_delta_rndm ** 2).sum(0))
                 self.scaling_rndm = np.clip(cos_proj_rndm / scaling_penalty,
+                                            0, 1)
+                self.delta_embedding_random = \
+                    self.delta_embedding_random * self.scaling_rndm[:, None]
+
+    def _calculate_embedding_shift_compact(self, sigma_corr: float,
+                                           expression_scaling: bool,
+                                           scaling_penalty: float) -> None:
+        """knn_random-mode embedding shift on the compact (N, nn) form.
+
+        Same math as the dense path (the knn mask IS the sampled
+        candidate set), but the softmax, unit-vector contraction, and
+        expression-scaling projection all run in O(N * nn) -- the only
+        O(N^2) work left is the scatter that materializes the dense
+        transition_prob for API parity.
+        """
+        ixs = self._compact_ixs
+        n = ixs.shape[0]
+        rows = np.arange(n)[:, None]
+        mesh = getattr(self, "mesh", None)
+
+        def _p(compact):
+            p = np.exp(compact / sigma_corr)
+            p /= p.sum(1)[:, None]
+            return p
+
+        p_main = _p(self._compact_corr)
+        self.transition_prob = np.zeros((n, n), dtype=np.float64)
+        self.transition_prob[rows, ixs] = p_main
+        have_rndm = hasattr(self, "corrcoef_random")
+        if have_rndm:
+            p_rndm = _p(self._compact_corr_random)
+            self.transition_prob_random = np.zeros((n, n), dtype=np.float64)
+            self.transition_prob_random[rows, ixs] = p_rndm
+
+        emb = self.embedding.astype(np.float32)
+        self.delta_embedding = _embedding_shift_compact(
+            mesh, emb, ixs, p_main).astype(np.float64)
+
+        if expression_scaling:
+            hi_dim = getattr(self, self.which_hidim)
+            hi_rows = np.ascontiguousarray(hi_dim.T, dtype=np.float32)
+            d_rows = np.ascontiguousarray(self.delta_S.T, dtype=np.float32)
+            num, den = _expr_scaling_compact(mesh, hi_rows, d_rows, ixs,
+                                             p_main)
+            self.scaling = np.clip(num / den / scaling_penalty, 0, 1)
+            self.delta_embedding = \
+                self.delta_embedding * self.scaling[:, None]
+
+        if have_rndm:
+            self.delta_embedding_random = _embedding_shift_compact(
+                mesh, emb, ixs, p_rndm).astype(np.float64)
+            if expression_scaling:
+                dr_rows = np.ascontiguousarray(self.delta_S_rndm.T,
+                                               dtype=np.float32)
+                num_r, den_r = _expr_scaling_compact(mesh, hi_rows, dr_rows,
+                                                     ixs, p_rndm)
+                self.scaling_rndm = np.clip(num_r / den_r / scaling_penalty,
                                             0, 1)
                 self.delta_embedding_random = \
                     self.delta_embedding_random * self.scaling_rndm[:, None]
@@ -1636,8 +1740,10 @@ def _embedding_shift_rows(emb: jax.Array, emb_rows: jax.Array,
         nrm = jnp.linalg.norm(diff, axis=-1)
         unit = jnp.where(nrm[..., None] > 0, diff / jnp.where(
             nrm[..., None] == 0, 1.0, nrm[..., None]), 0.0)
-        de = jnp.einsum("bn,bnd->bd", Pi, unit)
-        de = de - jnp.einsum("bn,bnd->bd", Ki, unit) / Ksi[:, None]
+        hp = jax.lax.Precision.HIGHEST
+        de = jnp.einsum("bn,bnd->bd", Pi, unit, precision=hp)
+        de = de - jnp.einsum("bn,bnd->bd", Ki, unit, precision=hp) / \
+            Ksi[:, None]
         return de
 
     out = jax.lax.map(block_fn, jnp.arange(0, m_pad, block))
@@ -1653,6 +1759,135 @@ def _embedding_shift_blocked(emb: jax.Array, P: jax.Array, K: jax.Array,
     dense (D, N, N) unitary-vector tensor (analysis.py:1704-1712).
     """
     return _embedding_shift_rows(emb, emb, P, K, K_rowsum, block)
+
+
+def _embedding_shift_compact_rows(emb: jax.Array, emb_rows: jax.Array,
+                                  ixs_rows: jax.Array, P_rows: jax.Array,
+                                  block: int = 512) -> jax.Array:
+    """Compact embedding shift: per row i, the knn mask IS the sampled
+    candidate set, so delta_i = sum_k P_ik unit(x_{ixs_ik} - x_i) -
+    mean_k unit(x_{ixs_ik} - x_i).  O(N*nn*D) instead of O(N^2*D)."""
+    n, d = emb.shape
+    m, k = ixs_rows.shape
+    m_pad = ((m + block - 1) // block) * block
+    emb_p = jnp.pad(emb_rows, ((0, m_pad - m), (0, 0)))
+    ixs_p = jnp.pad(ixs_rows, ((0, m_pad - m), (0, 0)))
+    P_p = jnp.pad(P_rows, ((0, m_pad - m), (0, 0)))
+
+    def block_fn(i0):
+        xi = jax.lax.dynamic_slice(emb_p, (i0, 0), (block, d))
+        ix_b = jax.lax.dynamic_slice(ixs_p, (i0, 0), (block, k))
+        P_b = jax.lax.dynamic_slice(P_p, (i0, 0), (block, k))
+        nb = emb[ix_b]                                # (B, K, D)
+        diff = nb - xi[:, None, :]
+        nrm = jnp.linalg.norm(diff, axis=-1)
+        unit = jnp.where(nrm[..., None] > 0, diff / jnp.where(
+            nrm[..., None] == 0, 1.0, nrm[..., None]), 0.0)
+        de = jnp.einsum("bk,bkd->bd", P_b, unit,
+                        precision=jax.lax.Precision.HIGHEST) - \
+            jnp.mean(unit, axis=1)
+        return de
+
+    out = jax.lax.map(block_fn, jnp.arange(0, m_pad, block))
+    return out.reshape(m_pad, d)[:m]
+
+
+_embedding_shift_compact_jit = jax.jit(_embedding_shift_compact_rows,
+                                       static_argnames=("block",))
+
+
+def _expr_scaling_compact_rows(hi_rows: jax.Array, d_rows: jax.Array,
+                               ixs_rows: jax.Array, P_rows: jax.Array,
+                               block: int = 16):
+    """cos-projection numerator/denominator of the expression-scaling
+    penalty on the compact form (reference analysis.py:1714-1719):
+    estim_delta_i = sum_k P_ik hi[ixs_ik] - mean_k hi[ixs_ik];
+    returns (num_i = <delta_S_i, estim_i>, den_i = ||estim_i||)."""
+    m, k = ixs_rows.shape
+    g = hi_rows.shape[1]
+    m_pad = ((m + block - 1) // block) * block
+    ixs_p = jnp.pad(ixs_rows, ((0, m_pad - m), (0, 0)))
+    P_p = jnp.pad(P_rows, ((0, m_pad - m), (0, 0)))
+    d_p = jnp.pad(d_rows, ((0, m_pad - m), (0, 0)))
+
+    def block_fn(i0):
+        ix_b = jax.lax.dynamic_slice(ixs_p, (i0, 0), (block, k))
+        P_b = jax.lax.dynamic_slice(P_p, (i0, 0), (block, k))
+        db = jax.lax.dynamic_slice(d_p, (i0, 0), (block, g))
+        nb = hi_rows[ix_b]                            # (B, K, G)
+        est = jnp.einsum("bk,bkg->bg", P_b, nb,
+                         precision=jax.lax.Precision.HIGHEST) - \
+            jnp.mean(nb, axis=1)
+        num = jnp.sum(db * est, axis=-1)
+        den = jnp.sqrt(jnp.sum(est * est, axis=-1))
+        return num, den
+
+    num, den = jax.lax.map(block_fn, jnp.arange(0, m_pad, block))
+    return num.reshape(m_pad)[:m], den.reshape(m_pad)[:m]
+
+
+_expr_scaling_compact_jit = jax.jit(_expr_scaling_compact_rows,
+                                    static_argnames=("block",))
+
+
+def _embedding_shift_compact(mesh, emb: np.ndarray, ixs: np.ndarray,
+                             P: np.ndarray, block: int = 512) -> np.ndarray:
+    """Dispatch the compact embedding shift, sharding rows over the mesh
+    CELLS axis when one is given (embedding replicated)."""
+    emb_j = jnp.asarray(emb, jnp.float32)
+    ixs_j = jnp.asarray(ixs, jnp.int32)
+    P_j = jnp.asarray(P, jnp.float32)
+    if mesh is None:
+        return np.asarray(_embedding_shift_compact_jit(
+            emb_j, emb_j, ixs_j, P_j, block=block))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as SP
+    from .parallel.mesh import CELLS
+    n = emb.shape[0]
+    shards = mesh.shape[CELLS]
+    n_pad = ((n + shards - 1) // shards) * shards
+    pad = n_pad - n
+    fn = shard_map(functools.partial(_embedding_shift_compact_rows,
+                                     block=block),
+                   mesh=mesh,
+                   in_specs=(SP(), SP(CELLS, None), SP(CELLS, None),
+                             SP(CELLS, None)),
+                   out_specs=SP(CELLS, None))
+    out = fn(emb_j, jnp.pad(emb_j, ((0, pad), (0, 0))),
+             jnp.pad(ixs_j, ((0, pad), (0, 0))),
+             jnp.pad(P_j, ((0, pad), (0, 0))))
+    return np.asarray(out[:n])
+
+
+def _expr_scaling_compact(mesh, hi_rows: np.ndarray, d_rows: np.ndarray,
+                          ixs: np.ndarray, P: np.ndarray, block: int = 16):
+    """Dispatch the compact expression-scaling projection (optionally
+    mesh-sharded over rows).  Returns (num, den) numpy vectors."""
+    hi_j = jnp.asarray(hi_rows, jnp.float32)
+    d_j = jnp.asarray(d_rows, jnp.float32)
+    ixs_j = jnp.asarray(ixs, jnp.int32)
+    P_j = jnp.asarray(P, jnp.float32)
+    if mesh is None:
+        num, den = _expr_scaling_compact_jit(hi_j, d_j, ixs_j, P_j,
+                                             block=block)
+        return np.asarray(num), np.asarray(den)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as SP
+    from .parallel.mesh import CELLS
+    n = ixs.shape[0]
+    shards = mesh.shape[CELLS]
+    n_pad = ((n + shards - 1) // shards) * shards
+    pad = n_pad - n
+    fn = shard_map(functools.partial(_expr_scaling_compact_rows,
+                                     block=block),
+                   mesh=mesh,
+                   in_specs=(SP(), SP(CELLS, None), SP(CELLS, None),
+                             SP(CELLS, None)),
+                   out_specs=(SP(CELLS), SP(CELLS)))
+    num, den = fn(hi_j, jnp.pad(d_j, ((0, pad), (0, 0))),
+                  jnp.pad(ixs_j, ((0, pad), (0, 0))),
+                  jnp.pad(P_j, ((0, pad), (0, 0))))
+    return np.asarray(num[:n]), np.asarray(den[:n])
 
 
 def _embedding_shift_sharded(mesh, emb: np.ndarray, P: np.ndarray,

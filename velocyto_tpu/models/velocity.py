@@ -55,7 +55,8 @@ def velocity_step(S_sz: jax.Array, U_sz: jax.Array,
     # --- kNN smoothing (gather + weighted sum over neighbor cells) -----
     def smooth(M):
         rows = M.T[nbr_idx]                       # (N, K, G)
-        return jnp.einsum("nkg,nk->ng", rows, nbr_w).T  # (G, N)
+        return jnp.einsum("nkg,nk->ng", rows, nbr_w,
+                          precision=jax.lax.Precision.HIGHEST).T  # (G, N)
 
     Sx = smooth(S_sz)
     Ux = smooth(U_sz)
@@ -86,7 +87,8 @@ def velocity_step(S_sz: jax.Array, U_sz: jax.Array,
     a = _apply_transform(e_nb - e_rows[:, None, :], _SQRT, psc, partial=True)
     s1 = jnp.sum(a, axis=-1)
     s2 = jnp.sum(a * a, axis=-1)
-    s3 = jnp.einsum("bng,bg->bn", a, d_rows)
+    s3 = jnp.einsum("bng,bg->bn", a, d_rows,
+                    precision=jax.lax.Precision.HIGHEST)
     sb1 = jnp.sum(d_rows, axis=-1)[:, None]
     sb2 = jnp.sum(d_rows * d_rows, axis=-1)[:, None]
     corr = _corr_from_moments(s1, s2, s3, sb1, sb2, float(g))
@@ -99,7 +101,8 @@ def velocity_step(S_sz: jax.Array, U_sz: jax.Array,
     diff = embedding[sample_ixs] - embedding[:, None, :]   # (N, nn, D)
     nrm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
     unit = jnp.where(nrm > 0, diff / jnp.where(nrm == 0, 1.0, nrm), 0.0)
-    delta_embedding = jnp.einsum("nk,nkd->nd", p, unit) \
+    delta_embedding = jnp.einsum("nk,nkd->nd", p, unit,
+                                 precision=jax.lax.Precision.HIGHEST) \
         - jnp.mean(unit, axis=1)
 
     return VelocityOutputs(gammas, q, velocity, corr, p, delta_embedding)

@@ -226,7 +226,8 @@ def _dense_xla_rows(emat: jax.Array, e_ctr: jax.Array, d_ctr: jax.Array,
         a = _apply_transform(delta, transform, psc, partial=False)
         s1 = jnp.sum(a, axis=0).T                                # (B, N)
         s2 = jnp.sum(a * a, axis=0).T
-        s3 = jnp.einsum("gnb,gb->bn", a, b)
+        s3 = jnp.einsum("gnb,gb->bn", a, b,
+                        precision=jax.lax.Precision.HIGHEST)
         sb1 = jnp.sum(b, axis=0)[:, None]
         sb2 = jnp.sum(b * b, axis=0)[:, None]
         return _corr_from_moments(s1, s2, s3, sb1, sb2, float(g))
@@ -278,7 +279,8 @@ def _partial_impl(e_full: jax.Array, e_ctr: jax.Array, d_ctr: jax.Array,
         a = _apply_transform(delta, transform, psc, partial=True)
         s1 = jnp.sum(a, axis=-1)                                     # (B, nn)
         s2 = jnp.sum(a * a, axis=-1)
-        s3 = jnp.einsum("bng,bg->bn", a, b)
+        s3 = jnp.einsum("bng,bg->bn", a, b,
+                        precision=jax.lax.Precision.HIGHEST)
         sb1 = jnp.sum(b, axis=-1)[:, None]
         sb2 = jnp.sum(b * b, axis=-1)[:, None]
         return _corr_from_moments(s1, s2, s3, sb1, sb2, float(g))

@@ -54,7 +54,13 @@ def _candidate_block_fn(x: jax.Array, sq: jax.Array, x_p: jax.Array,
     def block_fn(r0):
         rows = jax.lax.dynamic_slice(x_p, (r0, 0), (block, d))
         rsq = jax.lax.dynamic_slice(sq_p, (r0,), (block,))
-        d2 = rsq[:, None] + sq[None, :] - 2.0 * rows @ x.T   # (B, N)
+        # HIGHEST precision is load-bearing: the TPU default feeds the
+        # MXU bf16 inputs (~4e-3 relative), which at 50k cells displaces
+        # boundary candidates by dozens of ranks - beyond the +8 margin
+        # the exact f64 re-score assumes.  True-f32 keeps displacement
+        # within a couple of ranks.
+        d2 = rsq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+            rows, x.T, precision=jax.lax.Precision.HIGHEST)   # (B, N)
         d2 = jnp.maximum(d2, 0.0)
         if use_sort:
             idx = jax.lax.broadcasted_iota(jnp.int32, (block, n), 1)
@@ -187,7 +193,8 @@ def make_knn_search_sharded(mesh, k: int, block: int = 256,
         def block_fn(r0):
             rws = jax.lax.dynamic_slice(rows_p, (r0, 0), (b, d))
             rsq = jax.lax.dynamic_slice(sq_p, (r0,), (b,))
-            d2 = rsq[:, None] + sq[None, :] - 2.0 * rws @ x.T
+            d2 = rsq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+                rws, x.T, precision=jax.lax.Precision.HIGHEST)
             d2 = jnp.maximum(d2, 0.0)
             if use_sort:
                 ii = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
@@ -248,7 +255,8 @@ def _knn_query_jit(data: jax.Array, query: jax.Array, k: int,
     def block_fn(r0):
         rows = jax.lax.dynamic_slice(q_p, (r0, 0), (block, d))
         d2 = jnp.sum(rows * rows, axis=1)[:, None] + sq_d[None, :] \
-            - 2.0 * rows @ data.T
+            - 2.0 * jnp.matmul(rows, data.T,
+                               precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.maximum(d2, 0.0)
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx

@@ -61,7 +61,8 @@ def _convolve_compact_impl(data_rows: jax.Array, nbr_idx: jax.Array,
         idx_b = jax.lax.dynamic_slice(idx_p, (r0, 0), (block, kk))
         w_b = jax.lax.dynamic_slice(w_p, (r0, 0), (block, kk))
         rows = data_rows[idx_b]                     # (B, K, G)
-        return jnp.einsum("bkg,bk->bg", rows, w_b)
+        return jnp.einsum("bkg,bk->bg", rows, w_b,
+                          precision=jax.lax.Precision.HIGHEST)
 
     out = jax.lax.map(block_fn, jnp.arange(0, n_pad, block))
     return out.reshape(n_pad, g)[:n]
@@ -70,7 +71,8 @@ def _convolve_compact_impl(data_rows: jax.Array, nbr_idx: jax.Array,
 @jax.jit
 def _convolve_dense_impl(data_rows: jax.Array, w_dense: jax.Array
                          ) -> jax.Array:
-    return w_dense @ data_rows
+    return jnp.matmul(w_dense, data_rows,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # Below this many cells, a dense (N, N) weight matmul beats the gather
