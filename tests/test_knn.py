@@ -35,7 +35,10 @@ def test_knn_search_large_k_sort_path(rng):
     nn = NearestNeighbors(n_neighbors=k, algorithm="brute").fit(X)
     sk_dist, sk_idx = nn.kneighbors(X)
     np.testing.assert_array_equal(idx, sk_idx)
-    np.testing.assert_allclose(dist, sk_dist, rtol=1e-6, atol=1e-8)
+    # the large-k rescore uses the dot formulation (same as sklearn's
+    # euclidean_distances): near-zero distances carry ~1e-7 absolute
+    # noise from f64 cancellation on both sides
+    np.testing.assert_allclose(dist, sk_dist, rtol=1e-6, atol=2e-7)
 
 
 def test_knn_search_large_k_with_ties(rng):

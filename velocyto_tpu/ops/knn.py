@@ -101,10 +101,26 @@ def _knn_search_impl(data: jax.Array, k: int, block: int = 512,
 
 def _chunked_rescore(x64: np.ndarray, idx: np.ndarray,
                      rows: int = 256) -> np.ndarray:
-    """Exact f64 squared distances of gathered candidates, row-chunked so
-    the (N, k, D) scratch never exceeds ~rows*k*D floats."""
-    n = idx.shape[0]
+    """Exact f64 squared distances of gathered candidates, row-chunked.
+
+    Small k: gather (rows, k, D) + elementwise (memory ~rows*k*D).
+    Large k (balanced-kNN sight windows): the gather would stream tens
+    of GB, so instead one f64 BLAS GEMM per chunk computes all-pairs
+    dots and the candidates are selected from it -- more flops,
+    ~10x less memory traffic, measured ~5x faster at 20k x 3000.
+    """
+    n, k = idx.shape
     d2 = np.empty(idx.shape, dtype=np.float64)
+    if k > max(256, n // 16):
+        sq = np.einsum("nd,nd->n", x64, x64)
+        xt = np.ascontiguousarray(x64.T)
+        for lo in range(0, n, rows):
+            hi = min(n, lo + rows)
+            dots = x64[lo:hi] @ xt                        # (B, N) BLAS
+            dsel = np.take_along_axis(dots, idx[lo:hi], axis=1)
+            d2[lo:hi] = sq[lo:hi, None] + sq[idx[lo:hi]] - 2.0 * dsel
+        np.maximum(d2, 0.0, out=d2)
+        return d2
     for lo in range(0, n, rows):
         hi = min(n, lo + rows)
         diff = x64[idx[lo:hi]] - x64[lo:hi, None, :]
