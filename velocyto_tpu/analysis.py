@@ -966,7 +966,16 @@ class VelocytoLoom:
         N = embedding.shape[0]
         nn_k = min(n_neighbors + 1, N - 1)
         mesh = getattr(self, "mesh", None)
-        if mesh is not None:
+        if embedding.shape[1] <= 3:
+            # low-dim embeddings (tsne/umap, D=2-3): a host kd-tree beats
+            # brute-force distances at any scale and matches the
+            # reference's own sklearn call here (analysis.py:1547-1549)
+            from sklearn.neighbors import NearestNeighbors
+            nn_model = NearestNeighbors(n_neighbors=min(nn_k + 1, N),
+                                        n_jobs=n_jobs)
+            nn_model.fit(embedding)
+            _dists, idx = nn_model.kneighbors(embedding)
+        elif mesh is not None:
             from .ops.knn import knn_search_sharded
             _dists, idx = knn_search_sharded(mesh, embedding,
                                              min(nn_k + 1, N))
