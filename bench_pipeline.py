@@ -112,9 +112,23 @@ def main():
         "cells_per_sec_end_to_end": round(CELLS / total, 1),
     }
     print(json.dumps(result))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_scale.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_scale.json")
+    # preserve auxiliary sections recorded by other benches
+    # (counting_5M_reads, knn_50k, progression notes, ...)
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = {k: v for k, v in json.load(f).items()
+                          if k not in result}
+        except Exception:
+            merged = {}
+    prog = merged.setdefault("progression_this_round_s", [])
+    prog.append(result["value"])
+    merged.update(result)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":

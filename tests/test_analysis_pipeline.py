@@ -165,8 +165,13 @@ def test_embedding_shift_compact_equals_dense():
 
     v_compact = build()
     v_dense = build()
-    # force the dense fallback by invalidating the compact state
-    del v_dense._compact_corr
+    # force the dense fallback: materialize the dense lazy views first
+    # (the fallback path consumes them), then invalidate the compact state
+    _ = v_dense.corrcoef, v_dense.corrcoef_random
+    del v_dense._compact_ixs
+    for k in ("_corr_dev", "_corr_rndm_dev", "_compact_corr",
+              "_compact_corr_random"):
+        v_dense.__dict__.pop(k, None)
     for expr in (False, True):
         v_compact.calculate_embedding_shift(sigma_corr=0.05,
                                             expression_scaling=expr)

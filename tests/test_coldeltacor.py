@@ -72,3 +72,31 @@ def test_partial_sharded_matches_single(rng):
     single = col_delta_cor_partial_compact(e, d, ixs, "sqrt", 1e-10)
     sharded = col_delta_cor_partial_sharded(mesh, e, d, ixs, "sqrt", 1e-10)
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("transform,psc", [("sqrt", 1e-10), ("sqrt", 0.0),
+                                           ("log10", 1.0), ("linear", 0.0)])
+def test_partial_via_dense_matches_gather_path(rng, transform, psc):
+    """The dense-select route (used on TPU when the gather source spills
+    VMEM) must reproduce the gather kernel's partial-semantics values,
+    including the |delta| < 1e-16 -> 0 sqrt quirk at sampled entries.
+    Runs the Pallas kernel in interpret mode off-TPU."""
+    from velocyto_tpu.ops.coldeltacor import (_partial_impl,
+                                              _col_delta_cor_dense_pallas,
+                                              _TRANSFORMS)
+    import jax.numpy as jnp
+    g, n, nn = 23, 31, 7
+    e = (rng.rand(g, n) * 10).astype(np.float32)
+    # inject exact-equal expression pairs so delta == 0 paths are hit
+    e[:, 5] = e[:, 3]
+    d = rng.randn(g, n).astype(np.float32)
+    ixs = np.stack([rng.choice(n, nn, replace=False) for _ in range(n)])
+    tcode = _TRANSFORMS[transform]
+    gather = np.asarray(_partial_impl(e.T, e.T, d.T,
+                                      jnp.asarray(ixs, jnp.int32),
+                                      tcode, psc))
+    dense = np.asarray(_col_delta_cor_dense_pallas(
+        jnp.asarray(e), jnp.asarray(d), tcode, psc, interpret=True,
+        partial_semantics=True))
+    selected = np.take_along_axis(dense, ixs, axis=1)
+    np.testing.assert_allclose(selected, gather, rtol=2e-3, atol=2e-4)

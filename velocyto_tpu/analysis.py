@@ -88,13 +88,25 @@ class VelocytoLoom:
 
     def to_hdf5(self, filename: str, **kwargs: Any) -> None:
         """Snapshot every attribute to hdf5 (resume with
-        load_velocyto_hdf5).  The device mesh is runtime state, not
-        data: it is skipped and must be re-attached after loading."""
+        load_velocyto_hdf5).  The device mesh and the on-device compact
+        correlation handles are runtime state, not data: lazy dense
+        views (corrcoef / transition_prob) are materialized first so the
+        snapshot matches the reference's attribute set, then the device
+        handles are dropped from the dump."""
+        for name in VelocytoLoom._LAZY_DENSE:
+            try:
+                getattr(self, name)
+            except AttributeError:
+                pass
         mesh = self.__dict__.pop("mesh", None)
+        dev = {k: self.__dict__.pop(k)
+               for k in ("_corr_dev", "_corr_rndm_dev")
+               if k in self.__dict__}
         try:
             dump_hdf5(self, filename, **kwargs)
         finally:
             self.mesh = mesh
+            self.__dict__.update(dev)
 
     # ------------------------------------------------------------------
     # cell/gene bookkeeping
@@ -952,11 +964,17 @@ class VelocytoLoom:
                     f"ndims was set to {ndims} but hidim != 'pcs'. "
                     f"Set ndims = None for hidim='{hidim}'")
             hi_dim = getattr(self, hidim)
-            hi_dim_t = hi_dim + self.used_delta_t * self.delta_S
+            hi_dim_t = hi_dim_t_rndm = None
+            if not (knn_random and "pcs" not in hidim):
+                # host f64 path; the sampled path computes the
+                # displacement transform on device from delta_S directly
+                hi_dim_t = hi_dim + self.used_delta_t * self.delta_S
             if calculate_randomized:
                 self.delta_S_rndm = np.copy(self.delta_S)
                 permute_rows_nsign(self.delta_S_rndm)
-                hi_dim_t_rndm = hi_dim + self.used_delta_t * self.delta_S_rndm
+                if hi_dim_t is not None:
+                    hi_dim_t_rndm = hi_dim + self.used_delta_t * \
+                        self.delta_S_rndm
 
         embedding = getattr(self, embed)
         self.embedding = embedding
@@ -993,6 +1011,18 @@ class VelocytoLoom:
              np.arange(0, N * nn_k + 1, nn_k)),
             shape=(N, N))
 
+        # device-side transform for the sampled path: the elementwise
+        # (G, N) displacement transform runs in f32 on the accelerator
+        # (the correlation kernels consume f32 anyway); at 20k x 2k this
+        # replaces ~15 s of host f64 full-matrix passes.  The host f64
+        # _transform_for_corr stays for the full variant and the "pcs"
+        # hidim (where hi_dim_t is an independent attribute).
+        use_dev_transform = knn_random and "pcs" not in hidim
+        if use_dev_transform and transform not in ("log", "logratio",
+                                                   "linear", "sqrt"):
+            raise NotImplementedError(
+                f"transform={transform} is not a valid parameter")
+
         if knn_random:
             np.random.seed(random_seed)
             self.corr_calc = "knn_random"
@@ -1015,49 +1045,76 @@ class VelocytoLoom:
                  np.arange(0, nonzero + 1, neigh_ixs.shape[1])),
                 shape=(neigh_ixs.shape[0], neigh_ixs.shape[0]))
 
-            tf, emat, d_main, d_rndm = self._transform_for_corr(
-                transform, psc, hi_dim, hi_dim_t,
-                hi_dim_t_rndm if calculate_randomized else None)
-            # compact-first: the kernels return the (N, nn) sampled form;
-            # the dense (N, N) scatter keeps reference API parity, while
-            # the compact arrays let calculate_embedding_shift skip the
-            # O(N^2) dense products entirely
-            from .ops.coldeltacor import (col_delta_cor_partial_compact,
-                                          col_delta_cor_partial_sharded)
+            if use_dev_transform:
+                kernel_tf = {"log": "log10", "logratio": "linear",
+                             "linear": "linear", "sqrt": "sqrt"}[transform]
+                hi32 = jnp.asarray(hi_dim, jnp.float32)
+                emat = (_log2_psc_dev(hi32, psc)
+                        if transform == "logratio" else hi32)
+                d_main = _corr_transform_dev(
+                    hi32, jnp.asarray(self.delta_S, jnp.float32),
+                    self.used_delta_t, psc, transform)
+                d_rndm = None
+                if calculate_randomized:
+                    d_rndm = _corr_transform_dev(
+                        hi32, jnp.asarray(self.delta_S_rndm, jnp.float32),
+                        self.used_delta_t, psc, transform)
+                tf = kernel_tf
+            else:
+                tf, emat, d_main, d_rndm = self._transform_for_corr(
+                    transform, psc, hi_dim, hi_dim_t,
+                    hi_dim_t_rndm if calculate_randomized else None)
+            # compact-first AND device-first: the kernels return the
+            # (N, nn) sampled form as device arrays that never cross the
+            # host link here.  calculate_embedding_shift consumes them on
+            # device; the dense (N, N) corrcoef / transition_prob the
+            # reference API exposes are materialized lazily by
+            # __getattr__ on first access.
+            from .ops.coldeltacor import (col_delta_cor_partial_compact_dev,
+                                          col_delta_cor_partial_sharded_dev)
 
-            def _compact(d):
+            def _compact_dev(d):
                 if mesh is not None:
-                    return col_delta_cor_partial_sharded(
+                    return col_delta_cor_partial_sharded_dev(
                         mesh, emat, d, neigh_ixs, tf, psc)
-                return col_delta_cor_partial_compact(emat, d, neigh_ixs,
-                                                     tf, psc)
+                return col_delta_cor_partial_compact_dev(emat, d, neigh_ixs,
+                                                         tf, psc)
 
-            def _fix_and_scatter(compact):
+            def _fix_nans(dev):
                 # reference nan handling (analysis.py:1604-1614): the
                 # diagonal is never sampled (neighbors exclude self), so
-                # fill_diagonal(0) is the scatter's implicit zero
-                had_nan = bool(np.any(np.isnan(compact)))
+                # the lazy scatter's implicit zero is fill_diagonal(0).
+                # Only the one flag byte crosses the host link.
+                had_nan = bool(jnp.any(jnp.isnan(dev)))
                 if had_nan:
-                    compact[np.isnan(compact)] = 1
-                dense = np.zeros((N, N), dtype=np.float64)
-                dense[np.arange(N)[:, None], neigh_ixs] = compact
-                return compact, dense, had_nan
+                    dev = jnp.where(jnp.isnan(dev), jnp.float32(1.0), dev)
+                return dev, had_nan
 
-            cm, self.corrcoef, had_nan = _fix_and_scatter(
-                np.asarray(_compact(d_main), dtype=np.float64))
+            cm_dev, had_nan = _fix_nans(_compact_dev(d_main))
             if had_nan:
                 logging.warning(
                     "Nans encountered in corrcoef and corrected to 1s. "
                     "If not identical cells were present it is probably "
                     "a small isolated cluster converging after imputation.")
             self._compact_ixs = neigh_ixs.astype(np.int64)
-            self._compact_corr = cm
+            self._corr_dev = cm_dev
+            # the reference overwrites corrcoef here but leaves any old
+            # transition_prob stale until the next embedding-shift call:
+            # drop the dense caches that estimate_* overwrites, keep the
+            # stale-but-materialized transition_prob for parity
+            for stale in ("_compact_corr", "corrcoef", "_tp_sigma"):
+                self.__dict__.pop(stale, None)
             if calculate_randomized:
-                cr, self.corrcoef_random, _ = _fix_and_scatter(
-                    np.asarray(_compact(d_rndm), dtype=np.float64))
-                self._compact_corr_random = cr
+                cr_dev, _ = _fix_nans(_compact_dev(d_rndm))
+                self._corr_rndm_dev = cr_dev
+                for stale in ("_compact_corr_random", "corrcoef_random"):
+                    self.__dict__.pop(stale, None)
         else:
             self.corr_calc = "full"
+            for stale in ("_corr_dev", "_corr_rndm_dev", "_compact_corr",
+                          "_compact_corr_random", "_compact_ixs",
+                          "_tp_sigma"):
+                self.__dict__.pop(stale, None)
             tf, emat, d_main, d_rndm = self._transform_for_corr(
                 transform, psc, hi_dim, hi_dim_t,
                 hi_dim_t_rndm if calculate_randomized else None)
@@ -1103,21 +1160,91 @@ class VelocytoLoom:
         raise NotImplementedError(
             f"transform={transform} is not a valid parameter")
 
+    # ------------------------------------------------------------------
+    # lazy dense views of the compact correlation state
+    # ------------------------------------------------------------------
+    #
+    # estimate_transition_prob(knn_random=True) keeps only the compact
+    # (N, nn) sampled correlations, as device arrays.  The dense (N, N)
+    # corrcoef / transition_prob the reference API exposes
+    # (analysis.py:1604-1683) are O(N^2) f64 host arrays whose only role
+    # is API parity — they are scattered on first attribute access so
+    # pipelines that never touch them never pay the device->host pull
+    # nor the dense materialization.
+
+    _LAZY_DENSE = ("corrcoef", "corrcoef_random",
+                   "transition_prob", "transition_prob_random")
+
+    def __getattr__(self, name: str):
+        # only reached when normal lookup fails: materialize lazy views
+        if name in VelocytoLoom._LAZY_DENSE:
+            return self._materialize_dense(name)
+        raise AttributeError(
+            f"'{type(self).__name__}' object has no attribute '{name}'")
+
+    def _compact_corr_host(self, which: str = "main") -> np.ndarray:
+        """Host f64 copy of the compact correlations, pulled from the
+        device handle on first use and cached."""
+        key = "_compact_corr" if which == "main" else "_compact_corr_random"
+        cached = self.__dict__.get(key)
+        if cached is None:
+            dev = self.__dict__.get(
+                "_corr_dev" if which == "main" else "_corr_rndm_dev")
+            if dev is None:
+                raise AttributeError(key)
+            cached = np.asarray(dev, dtype=np.float64)
+            self.__dict__[key] = cached
+        return cached
+
+    def _materialize_dense(self, name: str) -> np.ndarray:
+        ixs = self.__dict__.get("_compact_ixs")
+        if ixs is None:
+            raise AttributeError(name)
+        which = "main" if not name.endswith("_random") else "rndm"
+        cm = self._compact_corr_host(which)      # may raise AttributeError
+        if name.startswith("transition_prob"):
+            sig = self.__dict__.get("_tp_sigma")
+            if sig is None:                      # no embedding-shift call yet
+                raise AttributeError(name)
+            cm = np.exp(cm / sig)
+            cm = cm / cm.sum(1)[:, None]
+        n = ixs.shape[0]
+        dense = np.zeros((n, n), dtype=np.float64)
+        dense[np.arange(n)[:, None], ixs] = cm
+        self.__dict__[name] = dense
+        return dense
+
+    def _has_rndm_state(self) -> bool:
+        """hasattr(self, 'corrcoef_random') without forcing the dense
+        materialization of the lazy view."""
+        d = self.__dict__
+        return ("corrcoef_random" in d or "_compact_corr_random" in d
+                or d.get("_corr_rndm_dev") is not None)
+
     def _compact_state_valid(self) -> bool:
         """Whether the compact (N, nn) correlation state stored by
-        estimate_transition_prob still corresponds to self.corrcoef
-        (spot-checked on a random sample of scattered entries)."""
-        ixs = getattr(self, "_compact_ixs", None)
-        cm = getattr(self, "_compact_corr", None)
-        if ixs is None or cm is None or self.corr_calc != "knn_random":
+        estimate_transition_prob still corresponds to self.corrcoef.
+        If the dense view was materialized (and possibly mutated by the
+        caller) it is spot-checked on a random sample of entries."""
+        ixs = self.__dict__.get("_compact_ixs")
+        if ixs is None or getattr(self, "corr_calc", None) != "knn_random":
             return False
-        n = self.corrcoef.shape[0]
-        if ixs.shape != cm.shape or ixs.shape[0] != n:
+        if (self.__dict__.get("_corr_dev") is None
+                and self.__dict__.get("_compact_corr") is None):
+            return False
+        n = ixs.shape[0]
+        dense = self.__dict__.get("corrcoef")
+        if dense is None:
+            return True                      # never materialized => pristine
+        if dense.shape[0] != n:
+            return False
+        cm = self._compact_corr_host("main")
+        if ixs.shape != cm.shape:
             return False
         rng = np.random.RandomState(0)
         r = rng.randint(0, n, size=min(256, n))
         c = rng.randint(0, ixs.shape[1], size=len(r))
-        return bool(np.array_equal(self.corrcoef[r, ixs[r, c]], cm[r, c]))
+        return bool(np.array_equal(dense[r, ixs[r, c]], cm[r, c]))
 
     def calculate_embedding_shift(self, sigma_corr: float = 0.05,
                                   expression_scaling: bool = True,
@@ -1140,7 +1267,7 @@ class VelocytoLoom:
         knn_dense = self.embedding_knn.toarray().astype(np.float32)
         self.transition_prob = np.exp(self.corrcoef / sigma_corr) * knn_dense
         self.transition_prob /= self.transition_prob.sum(1)[:, None]
-        if hasattr(self, "corrcoef_random"):
+        if self._has_rndm_state():
             self.transition_prob_random = np.exp(
                 self.corrcoef_random / sigma_corr) * knn_dense
             self.transition_prob_random /= \
@@ -1170,7 +1297,7 @@ class VelocytoLoom:
             self.scaling = np.clip(cos_proj / scaling_penalty, 0, 1)
             self.delta_embedding = self.delta_embedding * self.scaling[:, None]
 
-        if hasattr(self, "corrcoef_random"):
+        if self._has_rndm_state():
             de_r = _shift(self.transition_prob_random)
             self.delta_embedding_random = np.asarray(de_r, dtype=np.float64)
             if expression_scaling:
@@ -1195,23 +1322,26 @@ class VelocytoLoom:
         transition_prob for API parity.
         """
         ixs = self._compact_ixs
-        n = ixs.shape[0]
-        rows = np.arange(n)[:, None]
         mesh = getattr(self, "mesh", None)
 
-        def _p(compact):
-            p = np.exp(compact / sigma_corr)
-            p /= p.sum(1)[:, None]
-            return p
+        def _p_dev(which):
+            # softmax over the sampled candidate set, on device (f32);
+            # the O(N^2) dense transition_prob stays a lazy __getattr__
+            # view so nothing dense crosses the host link here
+            dev = self.__dict__.get(
+                "_corr_dev" if which == "main" else "_corr_rndm_dev")
+            if dev is None:
+                dev = jnp.asarray(self._compact_corr_host(which),
+                                  jnp.float32)
+            return _compact_softmax(dev, float(sigma_corr))
 
-        p_main = _p(self._compact_corr)
-        self.transition_prob = np.zeros((n, n), dtype=np.float64)
-        self.transition_prob[rows, ixs] = p_main
-        have_rndm = hasattr(self, "corrcoef_random")
+        self.__dict__.pop("transition_prob", None)
+        self._tp_sigma = float(sigma_corr)
+        p_main = _p_dev("main")
+        have_rndm = self._has_rndm_state()
         if have_rndm:
-            p_rndm = _p(self._compact_corr_random)
-            self.transition_prob_random = np.zeros((n, n), dtype=np.float64)
-            self.transition_prob_random[rows, ixs] = p_rndm
+            self.__dict__.pop("transition_prob_random", None)
+            p_rndm = _p_dev("rndm")
 
         emb = self.embedding.astype(np.float32)
         self.delta_embedding = _embedding_shift_compact(
@@ -1249,7 +1379,7 @@ class VelocytoLoom:
         embedding = getattr(self, embed)
         if hasattr(self, f"delta_{embed}"):
             delta_embedding = getattr(self, f"delta_{embed}")
-            if hasattr(self, "corrcoef_random"):
+            if self._has_rndm_state():
                 delta_embedding_random = getattr(self, f"delta_{embed}_random")
         else:
             raise KeyError("This embedding does not have a delta_*")
@@ -1277,7 +1407,7 @@ class VelocytoLoom:
         self.flow_norm = UZ / np.percentile(magnitude, 99.5)
         self.flow_norm_magnitude = np.linalg.norm(self.flow_norm, axis=1)
 
-        if hasattr(self, "corrcoef_random"):
+        if self._has_rndm_state():
             UZ_rndm = (delta_embedding_random[neighs] *
                        gaussian_w[:, :, None]).sum(1) / \
                 np.maximum(1, self.total_p_mass)[:, None]
@@ -1768,6 +1898,52 @@ def _embedding_shift_blocked(emb: jax.Array, P: jax.Array, K: jax.Array,
     dense (D, N, N) unitary-vector tensor (analysis.py:1704-1712).
     """
     return _embedding_shift_rows(emb, emb, P, K, K_rowsum, block)
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _corr_transform_impl(hi32: jax.Array, d32: jax.Array, dt: jax.Array,
+                         psc: jax.Array, kind: str) -> jax.Array:
+    """Elementwise displacement transform of estimate_transition_prob
+    (reference analysis.py:1575-1601) on device, f32.  delta is dt *
+    delta_S directly: the host path's (hi + dt*dS) - hi equals it to one
+    f64 ulp, below f32 resolution."""
+    delta = dt * d32
+    if kind == "log":
+        return jnp.log10(jnp.abs(delta) + psc) * jnp.sign(delta)
+    if kind == "sqrt":
+        return jnp.sqrt(jnp.abs(delta) + psc) * jnp.sign(delta)
+    if kind == "linear":
+        return delta
+    # logratio: log2(|hi_dim_t| + psc) - log2(hi_dim + psc)
+    return jnp.log2(jnp.abs(hi32 + delta) + psc) - jnp.log2(hi32 + psc)
+
+
+def _corr_transform_dev(hi32, d32, dt: float, psc: float,
+                        kind: str) -> jax.Array:
+    return _corr_transform_impl(hi32, d32, jnp.float32(dt),
+                                jnp.float32(psc), kind)
+
+
+@jax.jit
+def _log2_psc_impl(hi32: jax.Array, psc: jax.Array) -> jax.Array:
+    return jnp.log2(hi32 + psc)
+
+
+def _log2_psc_dev(hi32, psc: float) -> jax.Array:
+    return _log2_psc_impl(hi32, jnp.float32(psc))
+
+
+@jax.jit
+def _compact_softmax_impl(corr: jax.Array, sigma: jax.Array) -> jax.Array:
+    p = jnp.exp(corr / sigma)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _compact_softmax(corr, sigma: float) -> jax.Array:
+    """Row softmax of the compact (N, nn) correlations at temperature
+    sigma, on device (sigma traced so one compile serves all values)."""
+    return _compact_softmax_impl(jnp.asarray(corr, jnp.float32),
+                                 jnp.float32(sigma))
 
 
 def _embedding_shift_compact_rows(emb: jax.Array, emb_rows: jax.Array,

@@ -87,7 +87,7 @@ def _corr_from_moments(s1, s2, s3, sb1, sb2, n_genes):
 
 def _dense_kernel(e_i_ref, e_ct_ref, d_ct_ref, out_ref, acc_ref,
                   *, transform: int, psc: float, tc: int, n_genes: int,
-                  mask_pad: bool):
+                  mask_pad: bool, partial_semantics: bool = False):
     """Grid: (I_tiles, C_tiles, K_gene_tiles); K innermost.
 
     e_i_ref:  (GT, TI)  gene-tile of candidate-cell columns
@@ -115,7 +115,8 @@ def _dense_kernel(e_i_ref, e_ct_ref, d_ct_ref, out_ref, acc_ref,
     e_c = jnp.transpose(e_ct_ref[...])          # (GT, TC)
     b = jnp.transpose(d_ct_ref[...])            # (GT, TC)
     delta = e_i[:, None, :] - e_c[:, :, None]   # (GT, TC, TI)
-    a = _apply_transform(delta, transform, psc, partial=False)
+    a = _apply_transform(delta, transform, psc,
+                         partial=partial_semantics)
     if mask_pad:
         # zero-padded gene rows would contribute transform(0) != 0 to the
         # moments (sqrt/log10 with psc > 0); mask them to exactly 0 so the
@@ -124,7 +125,7 @@ def _dense_kernel(e_i_ref, e_ct_ref, d_ct_ref, out_ref, acc_ref,
         gid = pl.program_id(2) * gt + \
             jax.lax.broadcasted_iota(jnp.int32, (gt, 1, 1), 0)
         a = jnp.where(gid < n_genes, a, 0.0)
-    if transform == _SQRT and psc == 0.0:
+    if transform == _SQRT and psc == 0.0 and not partial_semantics:
         a_sq = jnp.abs(delta)                   # a^2 == |delta|: skip the mult
     else:
         a_sq = a * a
@@ -142,11 +143,13 @@ def _dense_kernel(e_i_ref, e_ct_ref, d_ct_ref, out_ref, acc_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("transform", "psc", "interpret"))
+                   static_argnames=("transform", "psc", "interpret",
+                                    "partial_semantics"))
 def _col_delta_cor_dense_pallas(emat: jax.Array, dmat: jax.Array,
                                 transform: int = _LINEAR,
                                 psc: float = 0.0,
-                                interpret: bool = False) -> jax.Array:
+                                interpret: bool = False,
+                                partial_semantics: bool = False) -> jax.Array:
     """Dense colDeltaCor on TPU. emat/dmat: (G, N) float32 -> (N, N).
 
     Tile sizes measured fastest on v5e (TI=512/TC=16/GT=256: 33k cells/s
@@ -163,8 +166,9 @@ def _col_delta_cor_dense_pallas(emat: jax.Array, dmat: jax.Array,
     grid = (n_pad // TI, n_pad // TC, g_pad // GT)
     out = pl.pallas_call(
         functools.partial(_dense_kernel, transform=transform, psc=psc,
-                          tc=TC, n_genes=g,
-                          mask_pad=not _pad_is_exact(transform, psc)),
+                          tc=TC, n_genes=g, partial_semantics=partial_semantics,
+                          mask_pad=not _pad_is_exact(transform, psc,
+                                                     partial_semantics)),
         interpret=interpret,
         grid=grid,
         in_specs=[
@@ -192,11 +196,14 @@ def _col_delta_cor_dense_pallas(emat: jax.Array, dmat: jax.Array,
 # sqrt/log10 with psc > 0 (each padded gene adds transform-of-zero to S1/S2).
 # When padding is not exact the kernel masks the padded gene rows in-VMEM
 # (mask_pad above), so one Pallas path serves every transform/psc.
-def _pad_is_exact(transform: int, psc: float) -> bool:
+def _pad_is_exact(transform: int, psc: float,
+                  partial_semantics: bool = False) -> bool:
     if transform == _LINEAR:
         return True
     if transform == _SQRT:
-        return psc == 0.0
+        # partial semantics map |delta| < 1e-16 to exactly 0, so padded
+        # zero-genes contribute nothing for any psc
+        return psc == 0.0 or partial_semantics
     return False  # log10: transform(0) = +-log10(psc) != 0 in general
 
 
@@ -247,10 +254,11 @@ def _col_delta_cor_dense_xla(emat: jax.Array, dmat: jax.Array,
 # Partial (neighbor-sampled) variant: blocked gather + fused moments
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("transform", "psc", "block"))
+@functools.partial(jax.jit,
+                   static_argnames=("transform", "psc", "block", "nt"))
 def _partial_impl(e_full: jax.Array, e_ctr: jax.Array, d_ctr: jax.Array,
                   ixs: jax.Array, transform: int, psc: float,
-                  block: int = 64) -> jax.Array:
+                  block: int = 64, nt: int = 128) -> jax.Array:
     """Neighbor-sampled colDeltaCor.
 
     e_full: (N, G) gather source (cells-as-rows so neighbor gathers are
@@ -258,26 +266,36 @@ def _partial_impl(e_full: jax.Array, e_ctr: jax.Array, d_ctr: jax.Array,
     rows; ixs: (M, nn) *global* neighbor indices.  Returns (M, nn).
     M may be a shard of N (see col_delta_cor_partial_sharded).
 
-    block=64 measured fastest on TPU v5e (the kernel is bound by the
-    HBM row-gather of e_full: ~290 GB/s effective vs ~340 GB/s for a
-    bare row gather; bf16 source rows measured *slower* due to 4 KB
-    gather granularity, so everything stays float32).
+    The kernel is bound by the HBM row-gather of e_full.  Work is tiled
+    as flat (center cell, nt-neighbor chunk) row units so the gathered
+    (block, nt, G) intermediate -- and the transform applied to it --
+    stays ~64 MB: at reference scale (20k cells, 1.75k sampled
+    neighbors, G=2k) the untiled form materialized ~0.9 GB (B, nn, G)
+    temporaries per block and ran ~10x below the bare-gather roofline.
+    bf16 source rows measured *slower* due to 4 KB gather granularity,
+    so everything stays float32.
     """
     m, g = e_ctr.shape
     nn = ixs.shape[1]
-    m_pad = ((m + block - 1) // block) * block
-    e_c = jnp.pad(e_ctr, ((0, m_pad - m), (0, 0)))
-    d_c = jnp.pad(d_ctr, ((0, m_pad - m), (0, 0)))
-    ixs_p = jnp.pad(ixs, ((0, m_pad - m), (0, 0)))
+    nt = min(nt, nn)
+    nn_pad = ((nn + nt - 1) // nt) * nt
+    nch = nn_pad // nt
+    # flat row units: (cell i, neighbor chunk c) -> flat row i * nch + c
+    flat = jnp.pad(ixs, ((0, 0), (0, nn_pad - nn))).reshape(m * nch, nt)
+    mf = m * nch
+    mf_pad = ((mf + block - 1) // block) * block
+    flat = jnp.pad(flat, ((0, mf_pad - mf), (0, 0)))
+    cell_of = jnp.minimum(jnp.arange(mf_pad, dtype=jnp.int32) // nch, m - 1)
 
-    def block_fn(c0):
-        rows = jax.lax.dynamic_slice(e_c, (c0, 0), (block, g))      # (B, G)
-        b = jax.lax.dynamic_slice(d_c, (c0, 0), (block, g))         # (B, G)
-        nb_ix = jax.lax.dynamic_slice(ixs_p, (c0, 0), (block, nn))  # (B, nn)
-        e_nb = e_full[nb_ix]                                         # (B, nn, G)
+    def block_fn(r0):
+        cid = jax.lax.dynamic_slice(cell_of, (r0,), (block,))       # (B,)
+        rows = e_ctr[cid]                                            # (B, G)
+        b = d_ctr[cid]                                               # (B, G)
+        nb_ix = jax.lax.dynamic_slice(flat, (r0, 0), (block, nt))    # (B, nt)
+        e_nb = e_full[nb_ix]                                         # (B, nt, G)
         delta = e_nb - rows[:, None, :]
         a = _apply_transform(delta, transform, psc, partial=True)
-        s1 = jnp.sum(a, axis=-1)                                     # (B, nn)
+        s1 = jnp.sum(a, axis=-1)                                     # (B, nt)
         s2 = jnp.sum(a * a, axis=-1)
         s3 = jnp.einsum("bng,bg->bn", a, b,
                         precision=jax.lax.Precision.HIGHEST)
@@ -285,13 +303,10 @@ def _partial_impl(e_full: jax.Array, e_ctr: jax.Array, d_ctr: jax.Array,
         sb2 = jnp.sum(b * b, axis=-1)[:, None]
         return _corr_from_moments(s1, s2, s3, sb1, sb2, float(g))
 
-    blocks = jax.lax.map(block_fn, jnp.arange(0, m_pad, block))
-    return blocks.reshape(m_pad, nn)[:m]
+    blocks = jax.lax.map(block_fn, jnp.arange(0, mf_pad, block))
+    out = blocks.reshape(mf_pad, nt)[:mf].reshape(m, nn_pad)
+    return out[:, :nn]
 
-
-# ---------------------------------------------------------------------------
-# Public API
-# ---------------------------------------------------------------------------
 
 def col_delta_cor(emat, dmat, transform: str = "linear", psc: float = 0.0,
                   use_pallas: Optional[bool] = None,
@@ -353,15 +368,35 @@ def col_delta_cor_dense_sharded(mesh: Mesh, emat, dmat,
     return np.array(out[:n])
 
 
-def col_delta_cor_partial_compact(emat, dmat, ixs, transform: str = "linear",
-                                  psc: float = 0.0) -> np.ndarray:
-    """Sampled-neighborhood colDeltaCor returning the compact (N, nn) form."""
+# Note on an alternative evaluated at reference scale (20k x 2k,
+# nn=1750): computing the *dense* Pallas kernel over all N^2 pairs with
+# partial-kernel per-pair semantics and selecting the sampled entries
+# (take_along_axis) measured ~14 s vs ~11 s for the gather path -- the
+# dense kernel is VPU-compute-bound on 11x more pair work, so the gather
+# path stays the production route even where its HBM random-access cost
+# dominates.  partial_semantics support in the dense kernel is kept (and
+# tested) as the documented per-pair-quirk contract between the two
+# kernel families.
+
+
+def col_delta_cor_partial_compact_dev(emat, dmat, ixs,
+                                      transform: str = "linear",
+                                      psc: float = 0.0) -> jax.Array:
+    """Sampled-neighborhood colDeltaCor returning the compact (N, nn) form
+    as a device array (no host transfer — downstream consumers like the
+    compact embedding shift stay on device)."""
     tcode = _TRANSFORMS[transform]
     e_rows = jnp.array(emat, dtype=jnp.float32).T
     d_rows = jnp.array(dmat, dtype=jnp.float32).T
     ixs = jnp.array(ixs, dtype=jnp.int32)
+    return _partial_impl(e_rows, e_rows, d_rows, ixs, tcode, psc)
+
+
+def col_delta_cor_partial_compact(emat, dmat, ixs, transform: str = "linear",
+                                  psc: float = 0.0) -> np.ndarray:
+    """Sampled-neighborhood colDeltaCor returning the compact (N, nn) form."""
     return np.array(
-        _partial_impl(e_rows, e_rows, d_rows, ixs, tcode, psc))
+        col_delta_cor_partial_compact_dev(emat, dmat, ixs, transform, psc))
 
 
 def col_delta_cor_partial(emat, dmat, ixs, transform: str = "linear",
@@ -399,14 +434,14 @@ def make_partial_sharded(mesh: Mesh, transform: str = "linear",
     )
 
 
-def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
-                                  transform: str = "linear",
-                                  psc: float = 0.0) -> np.ndarray:
+def col_delta_cor_partial_sharded_dev(mesh: Mesh, emat, dmat, ixs,
+                                      transform: str = "linear",
+                                      psc: float = 0.0) -> jax.Array:
     """Multi-chip partial colDeltaCor: center cells (rows of ixs / output)
     sharded over the mesh "cells" axis, expression replicated.
     Collective-free: each shard gathers from the replicated expression
     matrix, so scaling is embarrassingly parallel over ICI-connected chips.
-    Returns the compact (N, nn) form.
+    Returns the compact (N, nn) form as a device array (still sharded).
     """
     e_rows = jnp.array(emat, dtype=jnp.float32).T
     d_rows = jnp.array(dmat, dtype=jnp.float32).T
@@ -419,5 +454,13 @@ def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
     ixs_pad = jnp.pad(ixs, ((0, n_pad - n), (0, 0)))
 
     fn = make_partial_sharded(mesh, transform, psc)
-    out = fn(e_rows, e_pad, d_pad, ixs_pad)
-    return np.array(out[:n])
+    return fn(e_rows, e_pad, d_pad, ixs_pad)[:n]
+
+
+def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
+                                  transform: str = "linear",
+                                  psc: float = 0.0) -> np.ndarray:
+    """Host-returning form of :func:`col_delta_cor_partial_sharded_dev`."""
+    return np.array(
+        col_delta_cor_partial_sharded_dev(mesh, emat, dmat, ixs,
+                                          transform, psc))

@@ -159,6 +159,17 @@ def _candidate_plan(n: int, k: int, block: int) -> Tuple[int, int, bool]:
     return k2, max(8, min(block, n)), use_sort
 
 
+def _pull_idx(idx_dev: jax.Array, n: int) -> np.ndarray:
+    """Device->host transfer of a candidate index matrix.
+
+    The (N, sight) index pull is the only large readback of the kNN
+    path; when indices fit in uint16 (N <= 65536) the cast runs on
+    device and halves the bytes over the link."""
+    if n <= 65536:
+        return np.asarray(idx_dev.astype(jnp.uint16)).astype(np.int64)
+    return np.asarray(idx_dev, dtype=np.int64)
+
+
 def knn_search(data: np.ndarray, k: int, metric: str = "euclidean",
                block: int = 512) -> Tuple[np.ndarray, np.ndarray]:
     """kNN search (self included as the first neighbor).
@@ -178,7 +189,7 @@ def knn_search(data: np.ndarray, k: int, metric: str = "euclidean",
     k2, block, use_sort = _candidate_plan(n, k, block)
     _dist, idx = _knn_search_impl(jnp.asarray(data, dtype=jnp.float32),
                                   k2, block, metric, use_sort)
-    idx = np.asarray(idx, dtype=np.int64)
+    idx = _pull_idx(idx, n)
     d2, idx = _exact_rescore_topk(x64, idx, k)
     if metric == "correlation":
         dist = d2 / 2.0                            # 1 - corr
@@ -251,7 +262,7 @@ def knn_search_sharded(mesh, data: np.ndarray, k: int,
     sq_p = jnp.sum(rows_p * rows_p, axis=1)
     fn = make_knn_search_sharded(mesh, k2, block, metric, use_sort)
     _d2, idx = fn(x32, rows_p, sq_p)
-    idx = np.asarray(idx, dtype=np.int64)[:n]
+    idx = _pull_idx(idx, n)[:n]
     d2, idx = _exact_rescore_topk(x64, idx, k)
     if metric == "correlation":
         dist = d2 / 2.0
@@ -291,7 +302,7 @@ def _knn_query_impl(data: np.ndarray, query: np.ndarray, k: int
     _d, idx = _knn_query_jit(jnp.asarray(data, dtype=jnp.float32),
                              jnp.asarray(query, dtype=jnp.float32), k2,
                              min(512, max(8, query.shape[0])))
-    idx = np.asarray(idx, dtype=np.int64)
+    idx = _pull_idx(idx, n)
     x = np.asarray(data, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     d2 = np.empty(idx.shape, dtype=np.float64)
