@@ -61,7 +61,8 @@ def reference_kernel_cells_per_sec(e, d, ixs):
     ixs_s = np.ascontiguousarray(np.minimum(ixs[:n_meas], n_meas - 1),
                                  dtype=np.intp)
     refkernel.col_delta_cor_partial(e_s[:, :64], d_s[:, :64],
-                                    ixs_s[:64, :16], "sqrt", PSC)  # warm
+                                    np.minimum(ixs_s[:64, :16], 63),
+                                    "sqrt", PSC)  # warm
     t0 = time.perf_counter()
     refkernel.col_delta_cor_partial(e_s, d_s, ixs_s, "sqrt", PSC)
     dt = time.perf_counter() - t0

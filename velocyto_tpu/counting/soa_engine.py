@@ -36,12 +36,6 @@ from .molecules import (RecordArrays, build_read_records,
 from .reads import normalize_chrom
 
 
-try:
-    import pandas as _pd
-except ImportError:      # pragma: no cover - pandas is a baked-in dep
-    _pd = None
-
-
 def factorize(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(uniques, inverse) with np.unique(return_inverse=True) grouping
     semantics but hash-based (no O(n log n) sort of byte strings).
@@ -51,11 +45,17 @@ def factorize(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     Fixed-width byte keys go through the native exact hash
     (vtpu_factorize_fixed) when available: pandas.factorize boxes every
     S-dtype row into a python bytes object first, which dominated the
-    counting profile."""
+    counting profile.  pandas itself is imported lazily: with the native
+    library present it is never needed, and its import alone measured
+    ~0.8 s (20% of a 1M-read count) on this 2-core box."""
     if arr.dtype.kind in "SV":
         nf = native.factorize_fixed(arr)
         if nf is not None:
             return nf
+    try:
+        import pandas as _pd
+    except ImportError:      # pragma: no cover - pandas is a baked-in dep
+        _pd = None
     if _pd is not None:
         codes, uniq = _pd.factorize(arr)
         return np.asarray(uniq), codes
