@@ -192,3 +192,63 @@ def test_embedding_shift_compact_equals_dense():
         if expr:
             np.testing.assert_allclose(v_compact.scaling, v_dense.scaling,
                                        rtol=1e-3, atol=2e-4)
+
+
+def test_lazy_dense_corr_views(tmp_path):
+    """estimate_transition_prob keeps only compact device state: the
+    dense corrcoef/transition_prob are materialized on first attribute
+    access, hasattr stays False for absent randomized state, and
+    to_hdf5 materializes the dense views for snapshot parity."""
+    import velocyto_tpu as vt
+    rng = np.random.default_rng(11)
+    n, g = 80, 40
+    S = rng.poisson(rng.gamma(2., 2., (g, n))).astype(np.float32)
+    U = rng.poisson(0.3 * S + 0.1).astype(np.float32)
+    v = vt.VelocytoLoom.__new__(vt.VelocytoLoom)
+    v.S, v.U, v.A = S, U, np.zeros_like(S)
+    v.initial_cell_size = S.sum(0)
+    v.initial_Ucell_size = U.sum(0)
+    v.ca = {"CellID": np.array([f"c{i}" for i in range(n)])}
+    v.ra = {"Gene": np.array([f"g{i}" for i in range(g)])}
+    v._normalize_S(relative_size=v.initial_cell_size,
+                   target_size=v.initial_cell_size.mean())
+    v._normalize_U(relative_size=v.initial_Ucell_size,
+                   target_size=v.initial_Ucell_size.mean())
+    v.S_norm = np.log2(v.S_sz + 1)
+    v.perform_PCA(which="S_norm", n_components=8)
+    v.knn_imputation(k=8, balanced=False, n_jobs=1)
+    v.fit_gammas(weighted=False)
+    v.predict_U()
+    v.calculate_velocity()
+    v.calculate_shift(assumption="constant_velocity")
+    v.extrapolate_cell_at_t(delta_t=1.)
+    v.ts = np.ascontiguousarray(v.pcs[:, :2])
+    v.estimate_transition_prob(hidim="Sx_sz", embed="ts", transform="sqrt",
+                               knn_random=True, sampled_fraction=0.5,
+                               calculate_randomized=False)
+    # nothing dense materialized yet; no randomized state
+    assert "corrcoef" not in v.__dict__
+    assert not hasattr(v, "corrcoef_random")
+    assert not hasattr(v, "transition_prob")   # no embedding shift yet
+    v.calculate_embedding_shift(sigma_corr=0.05, expression_scaling=False)
+    assert "transition_prob" not in v.__dict__
+    # first touch materializes and caches
+    tp = v.transition_prob
+    assert "transition_prob" in v.__dict__ and tp.shape == (n, n)
+    rows = np.arange(n)[:, None]
+    np.testing.assert_allclose(tp[rows, v._compact_ixs].sum(1), 1.0,
+                               rtol=1e-9)
+    cc = v.corrcoef
+    np.testing.assert_array_equal(cc[rows, v._compact_ixs],
+                                  v._compact_corr)
+    # snapshot: dense views dumped, reload equals
+    p = str(tmp_path / "snap.hdf5")
+    v2_pre = dict(v.__dict__)
+    v.to_hdf5(p)
+    v2 = vt.load_velocyto_hdf5(p)
+    np.testing.assert_array_equal(v2.corrcoef, v.corrcoef)
+    np.testing.assert_array_equal(v2.transition_prob, v.transition_prob)
+    # unknown attributes still raise cleanly
+    import pytest as _pytest
+    with _pytest.raises(AttributeError):
+        _ = v.definitely_not_an_attribute
