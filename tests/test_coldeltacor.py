@@ -100,3 +100,49 @@ def test_partial_via_dense_matches_gather_path(rng, transform, psc):
         partial_semantics=True))
     selected = np.take_along_axis(dense, ixs, axis=1)
     np.testing.assert_allclose(selected, gather, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("transform,psc", [("sqrt", 1e-10), ("linear", 0.0)])
+def test_partial_ring_matches_single(rng, transform, psc):
+    """The ring-sharded variant (expression sharded over the mesh,
+    ppermute rotation) must equal the single-device compact kernel."""
+    from velocyto_tpu.ops.coldeltacor import col_delta_cor_partial_ring
+    g, n, nn = 19, 53, 9    # n not divisible by 8 shards: padding path
+    e = (rng.rand(g, n) * 10).astype(np.float32)
+    d = rng.randn(g, n).astype(np.float32)
+    ixs = np.stack([rng.choice(n, nn, replace=False) for _ in range(n)])
+    mesh = make_mesh()
+    single = col_delta_cor_partial_compact(e, d, ixs, transform, psc)
+    ring = col_delta_cor_partial_ring(mesh, e, d, ixs, transform, psc)
+    np.testing.assert_allclose(ring, single, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_plan_roundtrip(rng):
+    """_ring_plan's padded layout + inverse positions reconstruct the
+    original neighbor order exactly."""
+    from velocyto_tpu.ops.coldeltacor import _ring_plan
+    n, nn, shards = 37, 11, 8
+    chunk = (n + shards - 1) // shards
+    ixs = np.stack([rng.choice(n, nn, replace=False) for _ in range(n)])
+    local_pad, inv_pos, m = _ring_plan(ixs, shards, chunk)
+    owners = np.repeat(np.arange(shards), m)[None, :]
+    flat_global = local_pad.reshape(n, shards * m) + owners * chunk
+    rebuilt = np.take_along_axis(flat_global, inv_pos.astype(np.int64),
+                                 axis=1)
+    np.testing.assert_array_equal(rebuilt, ixs)
+
+
+def test_sharded_routes_to_ring_over_threshold(rng, monkeypatch):
+    """col_delta_cor_partial_sharded switches to the ring schedule when
+    replicating the expression would exceed the per-chip budget."""
+    import velocyto_tpu.ops.coldeltacor as cdc
+    g, n, nn = 13, 40, 6
+    e = rng.rand(g, n).astype(np.float32)
+    d = rng.randn(g, n).astype(np.float32)
+    ixs = np.stack([rng.choice(n, nn, replace=False) for _ in range(n)])
+    mesh = make_mesh()
+    base = cdc.col_delta_cor_partial_compact(e, d, ixs, "sqrt", 1e-10)
+    monkeypatch.setattr(cdc, "_REPLICATION_BYTES", 1)   # force ring
+    routed = cdc.col_delta_cor_partial_sharded(mesh, e, d, ixs, "sqrt",
+                                               1e-10)
+    np.testing.assert_allclose(routed, base, rtol=1e-4, atol=1e-5)

@@ -38,6 +38,7 @@ Agreement is validated to ~1e-4 relative in tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -434,6 +435,12 @@ def make_partial_sharded(mesh: Mesh, transform: str = "linear",
     )
 
 
+# Per-chip bytes of replicated expression above which the sharded
+# partial kernel switches to the ring schedule (expression sharded too).
+_REPLICATION_BYTES = int(os.environ.get("VELOCYTO_REPLICATION_BYTES",
+                                        4 << 30))
+
+
 def col_delta_cor_partial_sharded_dev(mesh: Mesh, emat, dmat, ixs,
                                       transform: str = "linear",
                                       psc: float = 0.0) -> jax.Array:
@@ -441,8 +448,14 @@ def col_delta_cor_partial_sharded_dev(mesh: Mesh, emat, dmat, ixs,
     sharded over the mesh "cells" axis, expression replicated.
     Collective-free: each shard gathers from the replicated expression
     matrix, so scaling is embarrassingly parallel over ICI-connected chips.
-    Returns the compact (N, nn) form as a device array (still sharded).
+    When the replicated expression would exceed VELOCYTO_REPLICATION_BYTES
+    per chip, the ring schedule (expression sharded, ppermute rotation)
+    takes over.  Returns the compact (N, nn) form as a device array
+    (still sharded).
     """
+    if np.asarray(emat).size * 4 > _REPLICATION_BYTES:
+        return col_delta_cor_partial_ring_dev(mesh, emat, dmat, ixs,
+                                              transform, psc)
     e_rows = jnp.array(emat, dtype=jnp.float32).T
     d_rows = jnp.array(dmat, dtype=jnp.float32).T
     ixs = jnp.array(ixs, dtype=jnp.int32)
@@ -464,3 +477,128 @@ def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
     return np.array(
         col_delta_cor_partial_sharded_dev(mesh, emat, dmat, ixs,
                                           transform, psc))
+
+
+# ---------------------------------------------------------------------------
+# Ring variant: expression sharded too (no per-chip replication)
+# ---------------------------------------------------------------------------
+#
+# col_delta_cor_partial_sharded keeps the full (N, G) expression matrix on
+# every chip, which caps N at the per-chip HBM.  The ring variant shards
+# the expression over the mesh CELLS axis as well and rotates each chunk
+# around the ring with lax.ppermute (classic systolic schedule, SURVEY §7
+# Phase 3): chip p at step s holds chunk (p + s) % P and evaluates exactly
+# the sampled pairs whose neighbor lives in that chunk.  Per-chip memory
+# is O(N/P * G); communication is the (P-1)-step ring of (N/P, G) chunks
+# riding ICI.
+#
+# The neighbor indices are pre-grouped by owning chunk on the host (the
+# order of neighbors within a row is irrelevant to the per-pair moments),
+# padded per (row, owner) to the global max group size M, and the compact
+# output is un-permuted on device with one take_along_axis.
+
+
+def _ring_plan(ixs: np.ndarray, shards: int, chunk: int):
+    """Group each row's neighbor indices by owning chunk.
+
+    Returns (local_pad (N, P, M) int32 chunk-local indices,
+    inv_pos (N, nn) int32 positions into the flattened (P*M) padded
+    layout, M).  Padding slots hold index 0; their outputs are never
+    referenced by inv_pos."""
+    n, nn = ixs.shape
+    owner = (ixs // chunk).astype(np.int32)
+    order = np.argsort(owner, axis=1, kind="stable")
+    owner_s = np.take_along_axis(owner, order, axis=1)
+    local_s = np.take_along_axis(ixs - owner * chunk, order, axis=1)
+    rows = np.repeat(np.arange(n), nn)
+    counts = np.zeros((n, shards), np.int64)
+    np.add.at(counts, (rows, owner.ravel()), 1)
+    m = max(1, int(counts.max()))
+    starts = np.zeros((n, shards), np.int64)
+    starts[:, 1:] = np.cumsum(counts, axis=1)[:, :-1]
+    j = np.arange(nn)[None, :]
+    rank_s = j - np.take_along_axis(starts, owner_s.astype(np.int64),
+                                    axis=1)
+    local_pad = np.zeros((n, shards, m), np.int32)
+    local_pad[rows, owner_s.ravel(),
+              rank_s.ravel()] = local_s.ravel().astype(np.int32)
+    pos_s = owner_s.astype(np.int64) * m + rank_s          # sorted order
+    inv_pos = np.empty((n, nn), np.int64)
+    np.put_along_axis(inv_pos, order, pos_s, axis=1)
+    return local_pad, inv_pos.astype(np.int32), m
+
+
+def make_partial_ring(mesh: Mesh, shards: int, m: int, nn: int,
+                      transform: str = "linear", psc: float = 0.0):
+    """Build the shard_map'd ring partial-colDeltaCor callable.
+
+    Signature: (e_shard (C, G), d_shard (C, G), local_pad (C, P, M),
+    inv_pos (C, nn)) -> (C, nn), everything sharded on the CELLS axis.
+    """
+    tcode = _TRANSFORMS[transform]
+    perm = [(i, (i - 1) % shards) for i in range(shards)]
+
+    def ring_fn(e_shard, d_shard, local_pad, inv_pos):
+        p = jax.lax.axis_index(CELLS)
+        c = e_shard.shape[0]
+        out0 = jnp.zeros((c, shards, m), jnp.float32)
+        # the carry becomes device-varying once p enters the body; the
+        # initial value must carry the same manual-axes annotation
+        if hasattr(jax.lax, "pcast"):
+            out0 = jax.lax.pcast(out0, (CELLS,), to="varying")
+        elif hasattr(jax.lax, "pvary"):          # older spelling
+            out0 = jax.lax.pvary(out0, (CELLS,))
+
+        def body(carry, s):
+            e_visit, out = carry
+            v = jax.lax.rem(p + s, shards)
+            ix_v = jax.lax.dynamic_index_in_dim(local_pad, v, axis=1,
+                                                keepdims=False)  # (C, M)
+            part = _partial_impl(e_visit, e_shard, d_shard, ix_v,
+                                 tcode, psc)                     # (C, M)
+            out = jax.lax.dynamic_update_slice(out, part[:, None, :],
+                                               (0, v, 0))
+            e_next = jax.lax.ppermute(e_visit, CELLS, perm)
+            return (e_next, out), None
+
+        (_, out), _ = jax.lax.scan(body, (e_shard, out0),
+                                   jnp.arange(shards, dtype=jnp.int32))
+        return jnp.take_along_axis(out.reshape(c, shards * m), inv_pos,
+                                   axis=1)
+
+    return shard_map(ring_fn, mesh=mesh,
+                     in_specs=(P(CELLS, None), P(CELLS, None),
+                               P(CELLS, None, None), P(CELLS, None)),
+                     out_specs=P(CELLS, None))
+
+
+def col_delta_cor_partial_ring_dev(mesh: Mesh, emat, dmat, ixs,
+                                   transform: str = "linear",
+                                   psc: float = 0.0) -> jax.Array:
+    """Fully-sharded sampled colDeltaCor (expression sharded, ring
+    rotation) returning the compact (N, nn) device array.  Numerically
+    identical per pair to the replicated-sharded and single-device
+    paths (same f32 moment accumulation)."""
+    e_rows = jnp.array(emat, dtype=jnp.float32).T
+    d_rows = jnp.array(dmat, dtype=jnp.float32).T
+    ixs = np.asarray(ixs)
+    n = e_rows.shape[0]
+    nn = ixs.shape[1]
+    shards = mesh.shape[CELLS]
+    chunk = (n + shards - 1) // shards
+    n_pad = chunk * shards
+    local_pad, inv_pos, m = _ring_plan(ixs, shards, chunk)
+    e_pad = jnp.pad(e_rows, ((0, n_pad - n), (0, 0)))
+    d_pad = jnp.pad(d_rows, ((0, n_pad - n), (0, 0)))
+    lp = jnp.pad(jnp.asarray(local_pad), ((0, n_pad - n), (0, 0), (0, 0)))
+    ip = jnp.pad(jnp.asarray(inv_pos), ((0, n_pad - n), (0, 0)))
+    fn = make_partial_ring(mesh, shards, m, nn, transform, psc)
+    return fn(e_pad, d_pad, lp, ip)[:n]
+
+
+def col_delta_cor_partial_ring(mesh: Mesh, emat, dmat, ixs,
+                               transform: str = "linear",
+                               psc: float = 0.0) -> np.ndarray:
+    """Host-returning form of :func:`col_delta_cor_partial_ring_dev`."""
+    return np.array(col_delta_cor_partial_ring_dev(mesh, emat, dmat, ixs,
+                                                   transform, psc))
