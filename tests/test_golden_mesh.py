@@ -120,3 +120,20 @@ def test_mesh_survives_hdf5_roundtrip(golden, tmp_path):
     v2 = vt.load_velocyto_hdf5(path)
     assert getattr(v2, "mesh", None) is None
     np.testing.assert_array_equal(v2.S, v.S)
+
+
+def test_mesh_ring_schedule_matches_single_device(golden, monkeypatch):
+    """Force the ring schedule (expression sharded, ppermute rotation)
+    through the public API and require single-device-equal results —
+    the memory-unbounded scale-out path must be a pure implementation
+    detail."""
+    import velocyto_tpu.ops.coldeltacor as cdc
+    monkeypatch.setattr(cdc, "_REPLICATION_BYTES", 1)
+    vm = _fresh_vlm(golden, make_mesh())
+    v1 = _fresh_vlm(golden, None)
+    for v in (vm, v1):
+        _run_pipeline(v, golden, knn_random=True)
+    np.testing.assert_allclose(vm.corrcoef, v1.corrcoef, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(vm.delta_embedding, v1.delta_embedding,
+                               rtol=1e-3, atol=1e-5)
