@@ -84,6 +84,11 @@ def col_delta_cor_partial(emat, dmat, ixs, transform="linear", psc=0.0,
     ix = np.ascontiguousarray(ixs, dtype=np.intp)
     rows, cols = e.shape
     nrndm = ix.shape[1]
+    # the C kernel scatters rm[i * cols + ixs[i][k]] unchecked: an index
+    # >= cols corrupts the heap silently (glibc aborts much later)
+    if ix.shape[0] != cols or (len(ix) and int(ix.max()) >= cols) or \
+            (len(ix) and int(ix.min()) < 0):
+        raise ValueError(f"ixs out of range for {cols} cells")
     rm = np.zeros((cols, cols), dtype=np.float64)
     ip = ix.ctypes.data_as(ctypes.POINTER(ctypes.c_ssize_t))
     nt = _threads(threads)
