@@ -1983,26 +1983,49 @@ _embedding_shift_compact_jit = jax.jit(_embedding_shift_compact_rows,
 
 def _expr_scaling_compact_rows(hi_rows: jax.Array, d_rows: jax.Array,
                                ixs_rows: jax.Array, P_rows: jax.Array,
-                               block: int = 16):
+                               block: int = 16, nt: int = 128):
     """cos-projection numerator/denominator of the expression-scaling
     penalty on the compact form (reference analysis.py:1714-1719):
     estim_delta_i = sum_k P_ik hi[ixs_ik] - mean_k hi[ixs_ik];
-    returns (num_i = <delta_S_i, estim_i>, den_i = ||estim_i||)."""
+    returns (num_i = <delta_S_i, estim_i>, den_i = ||estim_i||).
+
+    The neighbor axis is tiled (nt) so the gathered (block, nt, G)
+    intermediate stays tens of MB at reference scale; estim accumulates
+    over the tiles (sum_k is tile-separable; the mean's 1/K factor is
+    applied at the end)."""
     m, k = ixs_rows.shape
     g = hi_rows.shape[1]
+    nt = min(nt, k)
+    k_pad = ((k + nt - 1) // nt) * nt
     m_pad = ((m + block - 1) // block) * block
-    ixs_p = jnp.pad(ixs_rows, ((0, m_pad - m), (0, 0)))
-    P_p = jnp.pad(P_rows, ((0, m_pad - m), (0, 0)))
+    ixs_p = jnp.pad(ixs_rows, ((0, m_pad - m), (0, k_pad - k)))
+    # padded neighbor slots contribute 0 to both the P-weighted sum and
+    # the mean numerator
+    P_p = jnp.pad(P_rows, ((0, m_pad - m), (0, k_pad - k)))
+    mask = (jnp.arange(k_pad) < k).astype(jnp.float32)
     d_p = jnp.pad(d_rows, ((0, m_pad - m), (0, 0)))
 
     def block_fn(i0):
-        ix_b = jax.lax.dynamic_slice(ixs_p, (i0, 0), (block, k))
-        P_b = jax.lax.dynamic_slice(P_p, (i0, 0), (block, k))
         db = jax.lax.dynamic_slice(d_p, (i0, 0), (block, g))
-        nb = hi_rows[ix_b]                            # (B, K, G)
-        est = jnp.einsum("bk,bkg->bg", P_b, nb,
-                         precision=jax.lax.Precision.HIGHEST) - \
-            jnp.mean(nb, axis=1)
+
+        def tile_fn(carry, k0):
+            est, mean_acc = carry
+            ix_b = jax.lax.dynamic_slice(ixs_p, (i0, k0), (block, nt))
+            P_b = jax.lax.dynamic_slice(P_p, (i0, k0), (block, nt))
+            w_b = jax.lax.dynamic_slice(mask, (k0,), (nt,))
+            nb = hi_rows[ix_b]                        # (B, nt, G)
+            est = est + jnp.einsum("bk,bkg->bg", P_b, nb,
+                                   precision=jax.lax.Precision.HIGHEST)
+            mean_acc = mean_acc + jnp.einsum(
+                "k,bkg->bg", w_b, nb,
+                precision=jax.lax.Precision.HIGHEST)
+            return (est, mean_acc), None
+
+        init = (jnp.zeros((block, g), jnp.float32),
+                jnp.zeros((block, g), jnp.float32))
+        (est, mean_acc), _ = jax.lax.scan(
+            tile_fn, init, jnp.arange(0, k_pad, nt))
+        est = est - mean_acc / k
         num = jnp.sum(db * est, axis=-1)
         den = jnp.sqrt(jnp.sum(est * est, axis=-1))
         return num, den
