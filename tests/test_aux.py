@@ -174,3 +174,31 @@ def test_dropest_bc_correct(tmp_path):
     got = {r.name: r.tags.get("CB") for r in bamio.BamReader(out_bam)}
     assert got["r1"] == "BBB"       # corrected via merge_targets
     assert got["r2"] == "XYZ"       # untouched
+
+
+def test_native_choice_matches_numpy_stream():
+    """The C++ weighted no-replacement sampler must replay numpy's
+    RandomState.choice stream bit-for-bit, including the stream position
+    afterwards (estimate_transition_prob's RNG-parity contract)."""
+    import numpy as np
+    from velocyto_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("libvtpu not built")
+    for seed, n_rows, pop, size in ((15071990, 40, 351, 175),
+                                    (0, 10, 31, 15),
+                                    (99, 5, 101, 100)):
+        p = np.linspace(0.5, 0.1, pop)
+        p = p / p.sum()
+        np.random.seed(seed)
+        want = np.stack([np.random.choice(pop, size=(size,),
+                                          replace=False, p=p)
+                         for _ in range(n_rows)], 0)
+        after_loop = np.random.random_sample(4)
+        got, draws = native.choice_noreplace_rows(seed, n_rows, pop,
+                                                  size, p)
+        np.testing.assert_array_equal(got, want)
+        np.random.seed(seed)
+        np.random.random_sample(draws)
+        np.testing.assert_array_equal(np.random.random_sample(4),
+                                      after_loop)

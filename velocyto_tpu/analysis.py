@@ -1031,11 +1031,24 @@ class VelocytoLoom:
             p = np.linspace(sampling_probs[0], sampling_probs[1],
                             neigh_ixs.shape[1])
             p = p / p.sum()
-            sampling_ixs = np.stack(
-                [np.random.choice(neigh_ixs.shape[1],
-                                  size=(int(sampled_fraction * nn_k),),
-                                  replace=False, p=p)
-                 for _ in range(neigh_ixs.shape[0])], 0)
+            n_samp = int(sampled_fraction * nn_k)
+            # the reference's per-cell np.random.choice loop
+            # (analysis.py:1555-1560); the C++ path replays the exact
+            # MT19937 stream (validated bit-for-bit) and then advances
+            # numpy's global state to the matching position
+            from . import native as _native
+            _nat = _native.choice_noreplace_rows(
+                random_seed, neigh_ixs.shape[0], neigh_ixs.shape[1],
+                n_samp, p) if _native.available() else None
+            if _nat is not None:
+                sampling_ixs, _draws = _nat
+                np.random.random_sample(_draws)
+            else:
+                sampling_ixs = np.stack(
+                    [np.random.choice(neigh_ixs.shape[1],
+                                      size=(n_samp,),
+                                      replace=False, p=p)
+                     for _ in range(neigh_ixs.shape[0])], 0)
             self.sampling_ixs = sampling_ixs
             neigh_ixs = neigh_ixs[np.arange(neigh_ixs.shape[0])[:, None],
                                   sampling_ixs]

@@ -109,6 +109,13 @@ def _configure(lib) -> None:
         POINTER(c_int64),               # out codes (n,)
         POINTER(c_int64),               # out firsts (n,)
     ]
+    lib.vtpu_choice_noreplace_rows.restype = c_int64
+    lib.vtpu_choice_noreplace_rows.argtypes = [
+        ctypes.c_uint32,                # seed
+        c_int64, c_int64, c_int64,      # n_rows, pop, size
+        POINTER(ctypes.c_double),       # p (pop,)
+        POINTER(c_int64),               # out (n_rows * size,)
+    ]
 
 
 def available() -> bool:
@@ -153,6 +160,32 @@ def factorize_fixed(arr: np.ndarray
         codes.ctypes.data_as(POINTER(c_int64)),
         firsts.ctypes.data_as(POINTER(c_int64)))
     return arr[firsts[:k]], codes
+
+
+def choice_noreplace_rows(seed: int, n_rows: int, pop: int, size: int,
+                          p: np.ndarray) -> Optional[Tuple[np.ndarray, int]]:
+    """numpy-RandomState-exact weighted sampling without replacement,
+    one row per call of np.random.choice(pop, (size,), replace=False,
+    p=p) after np.random.seed(seed) — the per-cell neighbor-sampling
+    loop of estimate_transition_prob, with the identical MT19937 stream.
+
+    Returns (idx (n_rows, size) int64, n_doubles_consumed) so the caller
+    can fast-forward numpy's global stream to the matching position, or
+    None when libvtpu is absent / the sampling cannot terminate (the
+    python loop then reproduces numpy's own error)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ctypes import POINTER, c_int64, c_double
+    p = np.ascontiguousarray(p, dtype=np.float64)
+    out = np.empty(n_rows * size, np.int64)
+    draws = lib.vtpu_choice_noreplace_rows(
+        seed & 0xFFFFFFFF, n_rows, pop, size,
+        p.ctypes.data_as(POINTER(c_double)),
+        out.ctypes.data_as(POINTER(c_int64)))
+    if draws < 0:
+        return None
+    return out.reshape(n_rows, size), int(draws)
 
 
 def balance_knn_loop(dsi: np.ndarray, dist: np.ndarray, lsi: np.ndarray,

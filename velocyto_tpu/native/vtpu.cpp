@@ -542,6 +542,102 @@ int64_t vtpu_factorize_fixed(const uint8_t* keys, int64_t n, int64_t width,
 
 }  // extern "C"
 
+// -- numpy-parity weighted sampling without replacement ---------------------
+//
+// Replicates numpy's legacy RandomState.choice(pop, size, replace=False,
+// p=...) byte-for-byte: standard MT19937 (init_genrand seeding, numpy's
+// 53-bit double recipe) driving the exact rejection loop of
+// numpy/random/mtrand.pyx (zero the already-found entries, cumsum+
+// normalize, searchsorted side='right', first-occurrence dedup in draw
+// order).  estimate_transition_prob's per-row sampling loop is this
+// algorithm called n_cells times on one shared p — the python loop is
+// ~12 s at 20k cells; this is the same RNG stream in C++.
+
+struct Mt19937 {
+    uint32_t mt[624];
+    int mti;
+    explicit Mt19937(uint32_t s) {
+        mt[0] = s;
+        for (int i = 1; i < 624; ++i)
+            mt[i] = 1812433253u * (mt[i - 1] ^ (mt[i - 1] >> 30)) + (uint32_t)i;
+        mti = 624;
+    }
+    uint32_t next() {
+        if (mti >= 624) {
+            for (int i = 0; i < 624; ++i) {
+                uint32_t y = (mt[i] & 0x80000000u) | (mt[(i + 1) % 624] & 0x7fffffffu);
+                uint32_t v = mt[(i + 397) % 624] ^ (y >> 1);
+                if (y & 1u) v ^= 2567483615u;
+                mt[i] = v;
+            }
+            mti = 0;
+        }
+        uint32_t y = mt[mti++];
+        y ^= y >> 11;
+        y ^= (y << 7) & 2636928640u;
+        y ^= (y << 15) & 4022730752u;
+        y ^= y >> 18;
+        return y;
+    }
+    double next_double() {   // numpy rk_double
+        uint32_t a = next() >> 5, b = next() >> 6;
+        return (a * 67108864.0 + b) / 9007199254740992.0;
+    }
+};
+
+extern "C" {
+
+// out: (n_rows, size) int64.  Returns the number of doubles consumed
+// (callers re-sync numpy's global stream by drawing that many), or -1
+// if the sampling cannot terminate (fewer than `size` positive weights).
+int64_t vtpu_choice_noreplace_rows(uint32_t seed, int64_t n_rows,
+                                   int64_t pop, int64_t size,
+                                   const double* p_in, int64_t* out) {
+    int64_t positive = 0;
+    for (int64_t j = 0; j < pop; ++j) positive += p_in[j] > 0;
+    if (positive < size) return -1;
+    Mt19937 rng(seed);
+    std::vector<double> p(pop), cdf(pop), x((size_t)size);
+    std::vector<unsigned char> seen((size_t)pop);
+    int64_t draws = 0;
+    for (int64_t r = 0; r < n_rows; ++r) {
+        std::memcpy(p.data(), p_in, sizeof(double) * (size_t)pop);
+        std::memset(seen.data(), 0, (size_t)pop);
+        int64_t* found = out + r * size;
+        int64_t n_uniq = 0;
+        while (n_uniq < size) {
+            int64_t m = size - n_uniq;
+            for (int64_t i = 0; i < m; ++i) x[(size_t)i] = rng.next_double();
+            draws += m;
+            if (n_uniq > 0)
+                for (int64_t i = 0; i < n_uniq; ++i) p[(size_t)found[i]] = 0.0;
+            double acc = 0.0;
+            for (int64_t j = 0; j < pop; ++j) { acc += p[(size_t)j]; cdf[(size_t)j] = acc; }
+            double tot = cdf[(size_t)pop - 1];
+            for (int64_t j = 0; j < pop; ++j) cdf[(size_t)j] /= tot;
+            for (int64_t i = 0; i < m; ++i) {
+                // searchsorted side='right': first index with cdf[idx] > x
+                double xv = x[(size_t)i];
+                int64_t lo = 0, hi = pop;
+                while (lo < hi) {
+                    int64_t mid = (lo + hi) >> 1;
+                    if (cdf[(size_t)mid] <= xv) lo = mid + 1; else hi = mid;
+                }
+                // dedup: keep first occurrences in draw order (numpy's
+                // unique(return_index) + sorted indices + take)
+                if (lo < pop && !seen[(size_t)lo]) {
+                    seen[(size_t)lo] = 1;
+                    found[n_uniq++] = lo;
+                }
+            }
+        }
+        for (int64_t i = 0; i < n_uniq; ++i) seen[(size_t)found[i]] = 0;
+    }
+    return draws;
+}
+
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // BAM sort by aux tag (the `samtools sort -t CB` equivalent the counting
 // pipeline needs; the reference shells out to samtools, _run.py:169-182)
