@@ -1006,10 +1006,15 @@ class VelocytoLoom:
         keep = np.ones_like(idx, dtype=bool)
         keep[rows, first_self] = False
         neigh_full = idx[keep].reshape(N, idx.shape[1] - 1)[:, :nn_k]
-        self.embedding_knn = sparse.csr_matrix(
-            (np.ones(N * nn_k), neigh_full.ravel(),
-             np.arange(0, N * nn_k + 1, nn_k)),
-            shape=(N, N))
+        if not knn_random:
+            # knn_random immediately rebuilds embedding_knn from the
+            # sampled subset (reference :1562-1567 does too, after
+            # building this full version first); skip the transient
+            # O(N * nn_k) construction there
+            self.embedding_knn = sparse.csr_matrix(
+                (np.ones(N * nn_k), neigh_full.ravel(),
+                 np.arange(0, N * nn_k + 1, nn_k)),
+                shape=(N, N))
 
         # device-side transform for the sampled path: the elementwise
         # (G, N) displacement transform runs in f32 on the accelerator
