@@ -13,10 +13,28 @@ The loom file on disk is the contract between the halves.
 from ._version import __version__
 from .constants import *  # noqa: F401,F403
 
+import os as _os
+
+# glibc malloc tuning: both pipelines cycle through many multi-hundred-MB
+# numpy arrays.  By default glibc serves those from fresh mmaps, so every
+# one pays first-touch page faults (measured as low as ~60 MB/s on some
+# virtualized hosts — a single (2k, 20k) f64 elementwise expression cost
+# 15 s).  Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD keeps freed blocks on
+# the heap for reuse (same computation: 0.2 s on later passes).  Trades
+# retained RSS for throughput; opt out with VELOCYTO_NO_MALLOC_TUNE=1.
+if not _os.environ.get("VELOCYTO_NO_MALLOC_TUNE"):
+    try:
+        import ctypes as _ctypes
+
+        _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+        _libc.mallopt(-3, 1 << 30)      # M_MMAP_THRESHOLD
+        _libc.mallopt(-1, 1 << 30)      # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
 # Persistent XLA compilation cache: remote TPU compiles are expensive
 # (minutes over a tunnel); caching makes every shape recompile free after
 # the first session.  Opt out by setting JAX_COMPILATION_CACHE_DIR="".
-import os as _os
 
 if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
     import jax as _jax
