@@ -380,6 +380,16 @@ def balance_knn_loop(dsi: np.ndarray, dist: np.ndarray, lsi: np.ndarray,
     return dist_new, dsi_new, l
 
 
+def balance_knn_loop_constrained(dsi: np.ndarray, dist: np.ndarray,
+                                 lsi: np.ndarray, groups: np.ndarray,
+                                 maxl: int, k: int, return_distance: bool
+                                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference-name alias (velocyto/neighbors.py:77-140): the constrained
+    variant is folded into balance_knn_loop via ``constraint``."""
+    return balance_knn_loop(dsi, dist, lsi, maxl, k, return_distance,
+                            constraint=groups)
+
+
 def knn_balance(dsi: np.ndarray, dist: Optional[np.ndarray] = None,
                 maxl: int = 200, k: int = 60,
                 constraint: Optional[np.ndarray] = None
