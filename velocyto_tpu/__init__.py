@@ -36,8 +36,17 @@ if not _os.environ.get("VELOCYTO_NO_MALLOC_TUNE"):
 # (minutes over a tunnel); caching makes every shape recompile free after
 # the first session.  Opt out by setting JAX_COMPILATION_CACHE_DIR="".
 
+import jax as _jax
+
+# Honor explicitly-requested 64-bit dtypes (the device-resident exact
+# kNN re-score runs in f64 on device) without flipping global x64
+# promotion semantics for everything else.
+try:
+    _jax.config.update("jax_explicit_x64_dtypes", "allow")
+except Exception:
+    pass
+
 if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
-    import jax as _jax
 
     _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
                            "velocyto_tpu_jax")

@@ -83,6 +83,50 @@ class VelocytoLoom:
             pass
 
     # ------------------------------------------------------------------
+    # device-resident pipeline state
+    # ------------------------------------------------------------------
+    #
+    # The heavy (genes, cells) stage outputs (Sx, Ux, Sx_sz, Ux_sz,
+    # Upred, velocity, delta_S, ...) live on device as f32 arrays in
+    # self._dev_state; downstream device stages consume them directly
+    # (no host round-trip between pipeline stages), and the public
+    # numpy attribute the reference exposes is materialized lazily on
+    # first read (cached in _dev_host_cache).  An explicit assignment
+    # to the attribute makes the host value authoritative again (the
+    # device entry is dropped), so reference-style workflows that
+    # overwrite e.g. vlm.Sx_sz keep working.  NOTE: in-place mutation
+    # of a lazily-materialized view (vlm.Sx_sz[...] = 0) does not
+    # propagate back to the device copy; assign the attribute instead.
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        ds = self.__dict__.get("_dev_state")
+        if ds is not None and name in ds:
+            del ds[name]
+            self.__dict__.get("_dev_host_cache", {}).pop(name, None)
+        object.__setattr__(self, name, value)
+
+    def _set_dev(self, name: str, dev) -> None:
+        """Store a device array as the authoritative value of `name`."""
+        self.__dict__.pop(name, None)
+        self.__dict__.setdefault("_dev_state", {})[name] = dev
+        self.__dict__.setdefault("_dev_host_cache", {}).pop(name, None)
+
+    def _get_dev(self, name: str):
+        """Device f32 view of attribute `name` (no transfer when the
+        attribute is device-backed; upload otherwise)."""
+        ds = self.__dict__.get("_dev_state")
+        if ds is not None and name in ds:
+            return ds[name]
+        return jnp.asarray(getattr(self, name), jnp.float32)
+
+    def _materialize_dev(self, name: str) -> np.ndarray:
+        dev = self.__dict__["_dev_state"][name]
+        cache = self.__dict__.setdefault("_dev_host_cache", {})
+        if name not in cache:
+            cache[name] = np.array(dev, dtype=np.float64)
+        return cache[name]
+
+    # ------------------------------------------------------------------
     # serialization
     # ------------------------------------------------------------------
 
@@ -98,9 +142,21 @@ class VelocytoLoom:
                 getattr(self, name)
             except AttributeError:
                 pass
+        # device-backed attributes: materialize the host copy into
+        # __dict__ so the snapshot carries the reference attribute set
+        for name in list(self.__dict__.get("_dev_state", ())):
+            self.__dict__[name] = self._materialize_dev(name)
+        if self.__dict__.get("_knn_graph_dev") is not None:
+            self.knn_smoothing_w   # noqa: B018 - forces knn materialization
+            self.knn
+        if self.__dict__.get("_compact_ixs_dev") is not None:
+            self.embedding_knn
+            self._compact_ixs
         mesh = self.__dict__.pop("mesh", None)
         dev = {k: self.__dict__.pop(k)
-               for k in ("_corr_dev", "_corr_rndm_dev")
+               for k in ("_corr_dev", "_corr_rndm_dev", "_dev_state",
+                         "_dev_host_cache", "_knn_graph_dev",
+                         "_compact_ixs_dev")
                if k in self.__dict__}
         try:
             dump_hdf5(self, filename, **kwargs)
@@ -606,47 +662,43 @@ class VelocytoLoom:
         if b_maxl is None and balanced:
             b_maxl = np.minimum(int(k * 4), N - 1)
         space = self.pcs[:, :n_pca_dims] if pca_space else self.S_norm.T
+        from .ops import knn_device as kd
+        mesh = getattr(self, "mesh", None)
         if balanced:
+            constraint = None
             if group_constraint is not None:
                 if isinstance(group_constraint, str) and \
                         group_constraint == "clusters":
                     constraint = np.array(self.cluster_ix)
                 else:
                     constraint = np.asarray(group_constraint)
-                bknn = BalancedKNN(k=k, sight_k=b_sight, maxl=b_maxl,
-                                   metric=metric, constraint=constraint,
-                                   mode="distance", n_jobs=n_jobs,
-                                   mesh=getattr(self, "mesh", None))
-            else:
-                bknn = BalancedKNN(k=k, sight_k=b_sight, maxl=b_maxl,
-                                   metric=metric, mode="distance",
-                                   n_jobs=n_jobs,
-                                   mesh=getattr(self, "mesh", None))
-            bknn.fit(space)
-            self.knn = bknn.kneighbors_graph(mode="distance")
+            g = kd.balanced_knn_graph_dev(space, k=k, sight_k=b_sight,
+                                          maxl=b_maxl, metric=metric,
+                                          constraint=constraint, mesh=mesh)
         else:
             if group_constraint is not None:
                 raise ValueError("group_constraint is currently supported "
                                  "only if the argument balanced is set to True")
-            self.knn = knn_distance_matrix(space, metric=metric, k=k,
-                                           mode="distance", n_jobs=n_jobs,
-                                           mesh=getattr(self, "mesh", None))
-        connectivity = (self.knn > 0).astype(float)
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            connectivity.setdiag(diag)
-        self.knn_smoothing_w = connectivity_to_weights(connectivity)
-        if size_norm:
-            self.Sx = convolve_by_sparse_weights(self.S_sz, self.knn_smoothing_w)
-            self.Ux = convolve_by_sparse_weights(self.U_sz, self.knn_smoothing_w)
-        else:
-            self.Sx = convolve_by_sparse_weights(self.S, self.knn_smoothing_w)
-            self.Ux = convolve_by_sparse_weights(self.U, self.knn_smoothing_w)
+            g = kd.knn_graph_dev(space, k=k, metric=metric, mesh=mesh)
+        # device-resident graph; .knn / .knn_smoothing_w materialize lazily
+        for stale in ("knn", "knn_smoothing_w"):
+            self.__dict__.pop(stale, None)
+        self._knn_graph_dev = g
+        self._knn_diag = diag
+        nbr_idx, nbr_w = kd.compact_weights_dev(g, diag=diag)
+
+        S_src = self._get_dev("S_sz" if size_norm else "S")
+        U_src = self._get_dev("U_sz" if size_norm else "U")
+        Sx = kd.smooth_dev(S_src, nbr_idx, nbr_w)
+        Ux = kd.smooth_dev(U_src, nbr_idx, nbr_w)
         if maximum:
-            self.Sx = np.maximum(self.S_sz, self.Sx)
-            self.Ux = np.maximum(self.U_sz, self.Ux)
-        self.Sx_sz = np.copy(self.Sx)
-        self.Ux_sz = np.copy(self.Ux)
+            Sx = jnp.maximum(self._get_dev("S_sz"), Sx)
+            Ux = jnp.maximum(self._get_dev("U_sz"), Ux)
+        # jax arrays are immutable, so Sx_sz can alias Sx safely
+        self._set_dev("Sx", Sx)
+        self._set_dev("Ux", Ux)
+        self._set_dev("Sx_sz", Sx)
+        self._set_dev("Ux_sz", Ux)
 
     def knn_imputation_precomputed(self, knn_smoothing_w: sparse.spmatrix,
                                    maximum: bool = False) -> None:
@@ -1195,10 +1247,41 @@ class VelocytoLoom:
 
     def __getattr__(self, name: str):
         # only reached when normal lookup fails: materialize lazy views
+        d = self.__dict__
+        if name in (d.get("_dev_state") or ()):
+            return self._materialize_dev(name)
         if name in VelocytoLoom._LAZY_DENSE:
             return self._materialize_dense(name)
+        if name in ("knn", "knn_smoothing_w") and \
+                d.get("_knn_graph_dev") is not None:
+            return self._materialize_knn(name)
+        if name == "_compact_ixs" and d.get("_compact_ixs_dev") is not None:
+            ixs = np.array(d["_compact_ixs_dev"], dtype=np.int64)
+            d["_compact_ixs"] = ixs
+            return ixs
+        if name == "embedding_knn" and \
+                d.get("_compact_ixs_dev") is not None:
+            ixs = self._compact_ixs
+            n, nn = ixs.shape
+            eknn = sparse.csr_matrix(
+                (np.ones(n * nn), ixs.ravel(),
+                 np.arange(0, n * nn + 1, nn)), shape=(n, n))
+            d["embedding_knn"] = eknn
+            return eknn
         raise AttributeError(
             f"'{type(self).__name__}' object has no attribute '{name}'")
+
+    def _materialize_knn(self, name: str):
+        """Lazy host csr views of the device-resident kNN graph
+        (reference exposes .knn and .knn_smoothing_w as scipy csr)."""
+        from .ops import knn_device as kd
+        g = self.__dict__["_knn_graph_dev"]
+        if name == "knn":
+            out = kd.graph_to_csr(g)
+        else:
+            out = kd.weights_to_csr(g, diag=self.__dict__.get("_knn_diag", 1))
+        self.__dict__[name] = out
+        return out
 
     def _compact_corr_host(self, which: str = "main") -> np.ndarray:
         """Host f64 copy of the compact correlations, pulled from the

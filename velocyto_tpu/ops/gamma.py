@@ -185,7 +185,7 @@ def _fit_slope_impl(Y, X):
 
 def fit_slope(Y: np.ndarray, X: np.ndarray) -> np.ndarray:
     """Y, X: (genes, cells). Returns per-gene slope, float32."""
-    out = _fit_slope_impl(jnp.array(Y, jnp.float32), jnp.array(X, jnp.float32))
+    out = _fit_slope_impl(jnp.asarray(Y, jnp.float32), jnp.asarray(X, jnp.float32))
     return np.array(out, dtype=np.float32)
 
 
@@ -200,8 +200,8 @@ def fit_slope_weighted(Y, X, W, return_R2: bool = False,
                        limit_gamma: bool = False,
                        bounds: Tuple[float, float] = (0, 20)):
     m, r2 = _fit_slope_weighted_impl(
-        jnp.array(Y, jnp.float32), jnp.array(X, jnp.float32),
-        jnp.array(W, jnp.float32), limit_gamma,
+        jnp.asarray(Y, jnp.float32), jnp.asarray(X, jnp.float32),
+        jnp.asarray(W, jnp.float32), limit_gamma,
         float(bounds[0]), float(bounds[1]))
     m = np.array(m, dtype=np.float32)
     if return_R2:
@@ -221,8 +221,8 @@ def fit_slope_weighted_offset(Y, X, W, fixperc_q: bool = False,
                               return_R2: bool = True,
                               limit_gamma: bool = False):
     m, q, r2 = _fit_slope_weighted_offset_impl(
-        jnp.array(Y, jnp.float32), jnp.array(X, jnp.float32),
-        jnp.array(W, jnp.float32), fixperc_q, limit_gamma)
+        jnp.asarray(Y, jnp.float32), jnp.asarray(X, jnp.float32),
+        jnp.asarray(W, jnp.float32), fixperc_q, limit_gamma)
     m = np.array(m, dtype=np.float32)
     q = np.array(q, dtype=np.float32)
     if return_R2:
@@ -237,8 +237,72 @@ def _fit_slope_offset_impl(Y, X, fixperc_q):
 
 def fit_slope_offset(Y, X, fixperc_q: bool = False):
     m, q = _fit_slope_offset_impl(
-        jnp.array(Y, jnp.float32), jnp.array(X, jnp.float32), fixperc_q)
+        jnp.asarray(Y, jnp.float32), jnp.asarray(X, jnp.float32), fixperc_q)
     return np.array(m, dtype=np.float32), np.array(q, dtype=np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("scheme",))
+def _fit_weights_impl(tmpS, tmpU, Sx, Ux, scheme: str, lo, hi, wpow):
+    """The fit_gammas weighting schemes (reference analysis.py:1139-1191)
+    as one fused device program over the (genes, cells) matrices.
+
+    Replaces the host numpy percentile passes; boundary elements may
+    differ from the host f64 masks by f32 rounding at the percentile
+    thresholds (each flips one 0/1 weight among N cells).
+    """
+    if scheme == "sum":
+        return (tmpS / jnp.percentile(tmpS, 99.0, axis=1)[:, None]
+                + tmpU / jnp.percentile(tmpU, 99.0, axis=1)[:, None])
+    if scheme == "prod":
+        return (tmpS / jnp.percentile(tmpS, 99.0, axis=1)[:, None]
+                * (tmpU / jnp.percentile(tmpU, 99.0, axis=1)[:, None]))
+    if scheme == "maxmin_weighted":
+        down = jnp.percentile(tmpS, lo, axis=1)
+        up = jnp.percentile(tmpS, hi, axis=1)
+        Srange = jnp.clip(tmpS, down[:, None], up[:, None])
+        Srange = Srange - Srange.min(1)[:, None]
+        Srange = Srange / Srange.max(1)[:, None]
+        return 0.5 * (Srange ** wpow + (1 - Srange) ** wpow)
+    if scheme == "maxmin":
+        down = jnp.percentile(tmpS, lo, axis=1)
+        up = jnp.percentile(tmpS, hi, axis=1)
+        return ((tmpS <= down[:, None])
+                | (tmpS >= up[:, None])).astype(jnp.float32)
+
+    # maxmin_diag / maxmin_double operate on the unsized imputed data
+    def _denom(M):
+        d = jnp.percentile(M, 99.9, axis=1)
+        repl = jnp.maximum(jnp.max(M, axis=1), 0.001)
+        return jnp.where(d == 0, repl, d)
+
+    X = Sx / _denom(Sx)[:, None] + Ux / _denom(Ux)[:, None]
+    down = jnp.percentile(X, lo, axis=1)
+    up = jnp.percentile(X, hi, axis=1)
+    W = ((X <= down[:, None]) | (X >= up[:, None])).astype(jnp.float32)
+    if scheme == "maxmin_double":
+        down = jnp.percentile(Sx, lo, axis=1)
+        up = jnp.percentile(Sx, hi, axis=1)
+        W = W + ((Sx <= down[:, None])
+                 | (Sx >= up[:, None])).astype(jnp.float32)
+    return W
+
+
+def compute_fit_weights(scheme: str, tmpS, tmpU, Sx, Ux,
+                        maxmin_perc=(2.0, 98.0),
+                        maxmin_weighted_pow: float = 15.0):
+    """Device fit_gammas weights; inputs are (genes, cells) f32 device
+    (or host) arrays, output stays on device.  Only the matrices the
+    scheme actually reads are uploaded."""
+    dummy = jnp.zeros((1, 1), jnp.float32)
+    if scheme in ("sum", "prod", "maxmin_weighted", "maxmin"):
+        a, b, c, d = (jnp.asarray(tmpS, jnp.float32),
+                      jnp.asarray(tmpU, jnp.float32), dummy, dummy)
+    else:
+        a, b, c, d = (dummy, dummy, jnp.asarray(Sx, jnp.float32),
+                      jnp.asarray(Ux, jnp.float32))
+    return _fit_weights_impl(
+        a, b, c, d, scheme, float(maxmin_perc[0]), float(maxmin_perc[1]),
+        float(maxmin_weighted_pow))
 
 
 def clusters_stats(U: np.ndarray, S: np.ndarray, clusters_uid: np.ndarray,

@@ -1,0 +1,352 @@
+"""Fully device-resident balanced-kNN: search, exact re-score, greedy
+balancing and smoothing-weight construction without any large
+host<->device transfer.
+
+Motivation: the host-side balanced-kNN path (ops/knn.py) must pull the
+(N, sight) candidate-index matrix to the host for the exact f64 re-score
+and the greedy balancing loop -- ~105 MB at the reference's 20k-cell
+operating point (reference doc/tutorial/analysis.rst:109: k=500,
+b_sight=3000), which dominates wall time on a thin host link.  This
+module keeps the whole chain on device:
+
+  candidate pass (f32 blocked MXU distances, ops/knn.py semantics)
+    -> exact re-score in f64 (diff-form, elementwise; on TPU f64 is
+       software-emulated at ~1e-15 relative accuracy, on CPU it is
+       native IEEE)  [replaces the host numpy re-score]
+    -> lexicographic (distance, index) ordering  [sklearn tie-breaks]
+    -> greedy degree-capped balancing as a lax.scan
+       (reference velocyto/neighbors.py:11-140 -- decisions are pure
+       integer logic, so the scan is bit-equal to the numba loop given
+       the same candidate ordering)
+    -> compact (N, K) neighbor-index/weight arrays for the smoothing
+       convolution (reference velocyto/analysis.py:1006-1016)
+
+Only O(N) or O(N * k)-sized *results* ever need to cross the link, and
+only lazily (analysis.VelocytoLoom materializes `.knn` on first access).
+
+The f64 device arithmetic needs jax_explicit_x64_dtypes=allow (set at
+package import): explicitly-requested 64-bit dtypes are honored without
+flipping global x64 promotion semantics.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .knn import _candidate_plan, _knn_search_impl
+
+
+class KnnGraphDev(NamedTuple):
+    """Device-resident kNN graph state.
+
+    For the balanced graph: ``idx``/``dist`` are the (N, k+1) balanced
+    rows (slot 0 = self, -1 = unset) in the reference's dsi_new/dist_new
+    layout.  For the plain graph: (N, k) non-self neighbors, ascending.
+    ``indeg`` is the in-degree vector (balanced only).
+    """
+    idx: jax.Array          # int32
+    dist: jax.Array         # float64
+    indeg: Optional[jax.Array]
+    n: int
+    balanced: bool
+
+
+# ---------------------------------------------------------------------------
+# exact f64 re-score + ordering, on device
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _rescore_f64_impl(x64: jax.Array, idx: jax.Array, block: int) -> jax.Array:
+    """Exact f64 squared distances of gathered candidates, blocked.
+
+    Diff-form (sum((x_i - x_j)^2)) rather than GEMM-form: on TPU the
+    emulated f64 matmul is only ~1e-10 accurate while elementwise f64 is
+    ~1e-15, and the diff-form is exactly 0 for duplicate points, which
+    preserves sklearn-style tie groups.
+    """
+    n, d = x64.shape
+    k = idx.shape[1]
+    n_pad = ((n + block - 1) // block) * block
+    idx_p = jnp.pad(idx, ((0, n_pad - n), (0, 0)))
+    x_pad = jnp.pad(x64, ((0, n_pad - n), (0, 0)))
+
+    def body(r0):
+        ib = jax.lax.dynamic_slice(idx_p, (r0, 0), (block, k))
+        rows = jax.lax.dynamic_slice(x_pad, (r0, 0), (block, d))
+        diff = x64[ib] - rows[:, None, :]
+        return jnp.sum(diff * diff, axis=-1)
+
+    out = jax.lax.map(body, jnp.arange(0, n_pad, block))
+    return out.reshape(n_pad, k)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _reorder_truncate_impl(d2: jax.Array, idx: jax.Array, k: int
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Lexicographic (distance, index) ascending order, truncated to k --
+    the same tie-breaking as sklearn exact brute force (and as the host
+    _exact_rescore_topk)."""
+    by_idx = jnp.argsort(idx, axis=1, stable=True)
+    ii = jnp.take_along_axis(idx, by_idx, axis=1)
+    dd = jnp.take_along_axis(d2, by_idx, axis=1)
+    order = jnp.argsort(dd, axis=1, stable=True)
+    return (jnp.take_along_axis(dd, order, axis=1)[:, :k],
+            jnp.take_along_axis(ii, order, axis=1)[:, :k])
+
+
+def knn_search_dev(data: np.ndarray, k: int, metric: str = "euclidean",
+                   block: int = 512, mesh=None
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """All-pairs kNN (self included first), entirely on device.
+
+    Returns (dist (N, k) f64, idx (N, k) i32) device arrays, ordered
+    exactly like ops.knn.knn_search (f64 re-score, sklearn tie-breaks).
+    Upload: the (N, D) data.  Download: nothing.
+    """
+    n = data.shape[0]
+    k = min(k, n)
+    x64h = np.asarray(data, dtype=np.float64)
+    if metric == "correlation":
+        x64h = x64h - x64h.mean(axis=1, keepdims=True)
+        x64h = x64h / np.linalg.norm(x64h, axis=1, keepdims=True)
+    x64 = jnp.asarray(x64h, dtype=jnp.float64)
+
+    k2, blk, use_sort = _candidate_plan(n, k, block)
+    if mesh is not None:
+        from .knn import make_knn_search_sharded, _normalize_for_metric
+        from ..parallel.mesh import CELLS
+        shards = mesh.shape[CELLS]
+        n_pad = ((n + shards - 1) // shards) * shards
+        x32 = _normalize_for_metric(jnp.asarray(data, dtype=jnp.float32),
+                                    metric)
+        rows_p = jnp.pad(x32, ((0, n_pad - n), (0, 0)))
+        sq_p = jnp.sum(rows_p * rows_p, axis=1)
+        fn = make_knn_search_sharded(mesh, k2, blk, metric, use_sort)
+        _d2c, cand = fn(x32, rows_p, sq_p)
+        cand = cand[:n]
+    else:
+        _dc, cand = _knn_search_impl(jnp.asarray(data, dtype=jnp.float32),
+                                     k2, blk, metric, use_sort)
+
+    # bound the (block, k2, D) f64 gather scratch to ~256 MB
+    rb = max(8, min(256, (1 << 25) // max(1, k2 * x64.shape[1])))
+    d2 = _rescore_f64_impl(x64, cand, rb)
+    d2, idx = _reorder_truncate_impl(d2, cand, k)
+    if metric == "correlation":
+        dist = d2 / 2.0
+    else:
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    return dist, idx
+
+
+# ---------------------------------------------------------------------------
+# greedy balancing as a scan (reference velocyto/neighbors.py:11-140)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("maxl", "k", "has_constraint"))
+def _balance_scan_impl(dsi: jax.Array, dist: jax.Array, lsi: jax.Array,
+                       constraint: jax.Array, maxl: int, k: int,
+                       has_constraint: bool
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Degree-capped greedy balancing, bit-equal to the reference numba
+    loop (velocyto/neighbors.py:11-140) for the same candidate ordering.
+
+    Nodes are visited hub-first (lsi); each accepts its first k
+    admissible candidates (not self, in-degree < maxl, same group when
+    constrained); exhausted sights self-fill.  All decisions are integer
+    comparisons, so this is exact on every backend; the scan carries the
+    (N,) in-degree vector and runs on device.
+    """
+    n, sight = dsi.shape
+    rows_all = dsi[lsi]
+    drows_all = dist[lsi]
+    cst_all = constraint[lsi] if has_constraint else jnp.zeros((n,), jnp.int32)
+    slots = jnp.arange(k + 1)
+
+    def step(l, inp):
+        el, row, drow, cst_el = inp
+        l_row = l[row]
+        valid = (row != el) & (l_row < maxl)
+        if has_constraint:
+            valid &= constraint[row] == cst_el
+        pos = jnp.cumsum(valid.astype(jnp.int32))
+        accept = valid & (pos <= k)
+        p_final = jnp.minimum(pos[-1], k)
+        # entries the reference loop examines before breaking at p >= k
+        acc_before = jnp.minimum(pos - valid.astype(jnp.int32), k)
+        examined = acc_before < k
+        self_found = jnp.any((row == el) & examined)
+
+        targets = jnp.where(accept, pos, k + 1)       # k+1 drops
+        out_i = jnp.full((k + 1,), -1, jnp.int32).at[targets].set(
+            row, mode="drop")
+        out_d = jnp.zeros((k + 1,), dist.dtype).at[targets].set(
+            drow, mode="drop")
+        out_i = out_i.at[0].set(jnp.where(self_found, el, -1))
+        fill = slots > p_final                         # slot 0 never fills
+        out_i = jnp.where(fill, el, out_i)
+        out_d = jnp.where(fill, drow[0], out_d)
+        l = l.at[row].add(accept.astype(l.dtype))
+        return l, (out_i, out_d)
+
+    l0 = jnp.zeros((n,), jnp.int32)
+    l, (rows_i, rows_d) = jax.lax.scan(
+        step, l0, (lsi, rows_all, drows_all, cst_all))
+    dsi_new = jnp.zeros((n, k + 1), jnp.int32).at[lsi].set(rows_i)
+    dist_new = jnp.zeros((n, k + 1), dist.dtype).at[lsi].set(rows_d)
+    return dist_new, dsi_new, l
+
+
+@jax.jit
+def _hub_order_impl(dsi: jax.Array) -> jax.Array:
+    """Visit order: descending in-degree of the raw candidate graph,
+    ties broken like np.argsort(l, kind='mergesort')[::-1] (stable
+    ascending, reversed -> larger index first among equals)."""
+    n = dsi.shape[0]
+    counts = jnp.zeros((n,), jnp.int32).at[dsi.ravel()].add(1)
+    return jnp.argsort(counts, stable=True)[::-1]
+
+
+def balance_knn_dev(dsi: jax.Array, dist: jax.Array, maxl: int, k: int,
+                    constraint: Optional[np.ndarray] = None
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Device equivalent of ops.knn.knn_balance: computes the hub order
+    and runs the greedy scan.  Returns (dist_new, dsi_new, l) device
+    arrays in the reference layout."""
+    lsi = _hub_order_impl(dsi)
+    has_c = constraint is not None
+    cst = (jnp.asarray(np.asarray(constraint), jnp.int32) if has_c
+           else jnp.zeros((dsi.shape[0],), jnp.int32))
+    return _balance_scan_impl(dsi, dist, lsi, cst, int(maxl), int(k), has_c)
+
+
+# ---------------------------------------------------------------------------
+# graph construction drivers
+# ---------------------------------------------------------------------------
+
+def balanced_knn_graph_dev(space: np.ndarray, k: int, sight_k: int,
+                           maxl: int, metric: str = "euclidean",
+                           constraint: Optional[np.ndarray] = None,
+                           mesh=None) -> KnnGraphDev:
+    """Balanced kNN graph fully on device (BalancedKNN.kneighbors_graph
+    semantics, reference velocyto/neighbors.py:226-322)."""
+    n = space.shape[0]
+    kk = min(sight_k + 1, n)
+    dist, dsi = knn_search_dev(space, kk, metric=metric, mesh=mesh)
+    dist_new, dsi_new, l = balance_knn_dev(dsi, dist, maxl=maxl, k=k,
+                                           constraint=constraint)
+    return KnnGraphDev(idx=dsi_new, dist=dist_new, indeg=l, n=n,
+                       balanced=True)
+
+
+def knn_graph_dev(space: np.ndarray, k: int, metric: str = "euclidean",
+                  mesh=None) -> KnnGraphDev:
+    """Plain kNN graph excluding self (ops.knn.knn_distance_matrix
+    semantics), on device."""
+    n = space.shape[0]
+    kk = min(k + 1, n)
+    dist, idx = knn_search_dev(space, kk, metric=metric, mesh=mesh)
+    return KnnGraphDev(idx=idx[:, 1:], dist=dist[:, 1:], indeg=None, n=n,
+                       balanced=False)
+
+
+# ---------------------------------------------------------------------------
+# smoothing weights (reference velocyto/analysis.py:1001-1016)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=())
+def _compact_weights_impl(idx: jax.Array, dist: jax.Array, diag: jax.Array
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Row-normalized smoothing weights in compact (N, K+1) form.
+
+    Replicates connectivity = (knn > 0); setdiag(diag);
+    w = row-normalize(connectivity) (reference analysis.py:1001-1005 +
+    neighbors.py:385-390): zero-distance entries (self slot, self-fill,
+    exact duplicates) drop out of the connectivity exactly as they do in
+    the reference's csr construction, and the diagonal carries `diag`.
+    """
+    n, kw = idx.shape
+    present = (dist > 0).astype(jnp.float32)
+    self_col = jnp.arange(n, dtype=jnp.int32)[:, None]
+    nbr_idx = jnp.concatenate([self_col, idx.astype(jnp.int32)], axis=1)
+    vals = jnp.concatenate(
+        [jnp.full((n, 1), diag, jnp.float32), present], axis=1)
+    rowsum = jnp.sum(vals, axis=1, keepdims=True)
+    w = vals / rowsum
+    # csr-identical ascending-index order per row so the smoothing
+    # einsum accumulates in the same sequence as the sparse host path
+    # (zero-weight entries contribute exact zeros wherever they land)
+    order = jnp.argsort(jnp.where(w > 0, nbr_idx, jnp.int32(2**31 - 1)),
+                        axis=1, stable=True)
+    return (jnp.take_along_axis(nbr_idx, order, axis=1),
+            jnp.take_along_axis(w, order, axis=1))
+
+
+def compact_weights_dev(g: KnnGraphDev, diag: float = 1.0
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """(nbr_idx, nbr_w) (N, K+1) device arrays; nbr_w rows sum to 1."""
+    return _compact_weights_impl(g.idx, g.dist, jnp.float32(diag))
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _smooth_rows_impl(data_rows: jax.Array, nbr_idx: jax.Array,
+                      nbr_w: jax.Array, block: int = 64) -> jax.Array:
+    """out[i] = sum_k w[i,k] * data_rows[idx[i,k]] -- the smoothing
+    convolution over cells-as-rows, blocked to bound gather scratch."""
+    n, gdim = data_rows.shape
+    kk = nbr_idx.shape[1]
+    n_pad = ((n + block - 1) // block) * block
+    idx_p = jnp.pad(nbr_idx, ((0, n_pad - n), (0, 0)))
+    w_p = jnp.pad(nbr_w, ((0, n_pad - n), (0, 0)))
+
+    def body(r0):
+        ib = jax.lax.dynamic_slice(idx_p, (r0, 0), (block, kk))
+        wb = jax.lax.dynamic_slice(w_p, (r0, 0), (block, kk))
+        rows = data_rows[ib]
+        return jnp.einsum("bkg,bk->bg", rows, wb,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.lax.map(body, jnp.arange(0, n_pad, block))
+    return out.reshape(n_pad, gdim)[:n]
+
+
+def smooth_dev(data_cols_dev: jax.Array, nbr_idx: jax.Array,
+               nbr_w: jax.Array) -> jax.Array:
+    """Smooth a (G, N) device matrix over cells: returns (G, N)."""
+    out_rows = _smooth_rows_impl(data_cols_dev.T, nbr_idx, nbr_w)
+    return out_rows.T
+
+
+# ---------------------------------------------------------------------------
+# host materialization (lazy .knn / .knn_smoothing_w views)
+# ---------------------------------------------------------------------------
+
+def graph_to_csr(g: KnnGraphDev):
+    """Materialize the reference csr form of the graph on host
+    (BalancedKNN.kneighbors_graph / knn_distance_matrix layout)."""
+    from scipy import sparse
+    # copies: scipy mutates csr buffers in place, jax views are read-only
+    idx = np.array(g.idx, dtype=np.int64)
+    dist = np.array(g.dist, dtype=np.float64)
+    n, kw = idx.shape
+    return sparse.csr_matrix(
+        (dist.ravel(), idx.ravel(), np.arange(0, n * kw + 1, kw)),
+        shape=(g.n, g.n))
+
+
+def weights_to_csr(g: KnnGraphDev, diag: float = 1.0):
+    """Materialize the row-normalized smoothing-weight csr
+    (connectivity_to_weights((knn > 0) with setdiag(diag)))."""
+    from scipy import sparse
+    knn = graph_to_csr(g)
+    connectivity = (knn > 0).astype(float)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        connectivity.setdiag(diag)
+    from .smoothing import connectivity_to_weights
+    return connectivity_to_weights(connectivity)
