@@ -40,16 +40,59 @@ def test_feeders_match_serial(fixture, n_feeders):
         [bam_cs], gtf, valid_bcs=sorted(bcs), logic_name="Permissive10X",
         markup_bamfiles=[bam_pos], n_feeders=n_feeders, cell_batch_size=5,
         mesh=None, in_process=True)
-    assert sorted(order) == sorted(serial_order)
-    ps = np.argsort(np.array(serial_order))
-    pf = np.argsort(np.array(order))
+    # bit-identical INCLUDING the column order (serial first-encounter)
+    assert order == serial_order
     total = 0
     for layer in serial_layers:
-        np.testing.assert_array_equal(layers[layer][:, pf],
-                                      serial_layers[layer][:, ps],
+        np.testing.assert_array_equal(layers[layer],
+                                      serial_layers[layer],
                                       err_msg=f"layer {layer}")
         total += int(layers[layer].sum())
     assert total > 0, "vacuous comparison: nothing counted"
+
+
+def test_feeders_prepare_once(fixture, monkeypatch):
+    """The annotation parse + markup pass must run exactly once no
+    matter how many feeders count."""
+    from velocyto_tpu.counting.counter import ExInCounter as EIC
+    calls = {"gtf": 0, "markup": 0}
+    orig_gtf, orig_mark = EIC.read_transcriptmodels, EIC.mark_up_introns
+
+    def count_gtf(self, *a, **k):
+        calls["gtf"] += 1
+        return orig_gtf(self, *a, **k)
+
+    def count_mark(self, *a, **k):
+        calls["markup"] += 1
+        return orig_mark(self, *a, **k)
+
+    monkeypatch.setattr(EIC, "read_transcriptmodels", count_gtf)
+    monkeypatch.setattr(EIC, "mark_up_introns", count_mark)
+    gtf, bam_cs, bam_pos, bcs = fixture
+    count_distributed(
+        [bam_cs], gtf, valid_bcs=sorted(bcs), logic_name="Permissive10X",
+        markup_bamfiles=[bam_pos], n_feeders=3, cell_batch_size=5,
+        mesh=None, in_process=True)
+    assert calls == {"gtf": 1, "markup": 1}
+
+
+def test_pcount_matches_count_distributed_hash_owners(fixture):
+    """`run -p N`'s pcount and the multi-host driver share one worker
+    mechanism: same values, same serial column order."""
+    gtf, bam_cs, bam_pos, bcs = fixture
+    counter = ExInCounter(sampleid="s", logic=Permissive10X,
+                          valid_bcset=set(bcs))
+    counter.peek(bam_pos)
+    counter.read_transcriptmodels(gtf)
+    counter.mark_up_introns([bam_pos], multimap=False)
+    layers_cd, order_cd = count_distributed(
+        [bam_cs], counter=counter, n_feeders=2, cell_batch_size=5,
+        in_process=True)       # hash ownership (valid_bcs=None)
+    serial_layers, serial_order = _serial(gtf, bam_cs, bam_pos, bcs)
+    assert order_cd == serial_order
+    for layer in serial_layers:
+        np.testing.assert_array_equal(layers_cd[layer],
+                                      serial_layers[layer])
 
 
 def test_feeders_mesh_merge_matches_host(fixture):

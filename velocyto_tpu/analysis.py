@@ -761,90 +761,108 @@ class VelocytoLoom:
             self.steady_state = steady_state_bool
         else:
             self.steady_state = np.ones(self.S.shape[1], dtype=bool)
+        all_ss = bool(np.all(self.steady_state))
 
-        if use_imputed_data:
-            tmpS = self.Sx_sz if use_size_norm else self.Sx
-            tmpU = self.Ux_sz if use_size_norm else self.Ux
+        Sname = ("Sx_sz" if use_size_norm else "Sx") if use_imputed_data \
+            else ("S_sz" if use_size_norm else "S")
+        Uname = ("Ux_sz" if use_size_norm else "Ux") if use_imputed_data \
+            else ("U_sz" if use_size_norm else "U")
+        if all_ss:
+            # device path: matrices stay (or go) on device, the weight
+            # schemes run as one fused program (ops.gamma), and only the
+            # per-gene results cross the host link
+            tmpS = self._get_dev(Sname)
+            tmpU = self._get_dev(Uname)
         else:
-            tmpS = self.S_sz if use_size_norm else self.S
-            tmpU = self.U_sz if use_size_norm else self.U
+            tmpS = getattr(self, Sname)
+            tmpU = getattr(self, Uname)
 
         W = None
         if weighted:
             if type(weights) is np.ndarray:
                 W = weights
-            elif weights == "sum":
-                W = (tmpS / np.percentile(tmpS, 99, 1)[:, None]) + \
-                    (tmpU / np.percentile(tmpU, 99, 1)[:, None])
-            elif weights == "prod":
-                W = (tmpS / np.percentile(tmpS, 99, 1)[:, None]) * \
-                    (tmpU / np.percentile(tmpU, 99, 1)[:, None])
-            elif weights == "maxmin_weighted":
-                down, up = np.percentile(tmpS, maxmin_perc, 1)
-                Srange = np.clip(tmpS, down[:, None], up[:, None])
-                Srange = Srange - Srange.min(1)[:, None]
-                Srange = Srange / Srange.max(1)[:, None]
-                W = 0.5 * (Srange ** maxmin_weighted_pow +
-                           (1 - Srange) ** maxmin_weighted_pow)
-            elif weights == "maxmin":
-                down, up = np.percentile(tmpS, maxmin_perc, 1)
-                W = ((tmpS <= down[:, None]) |
-                     (tmpS >= up[:, None])).astype(float)
-            elif weights == "maxmin_diag":
-                denom_Sx = np.percentile(self.Sx, 99.9, 1)
-                if np.sum(denom_Sx == 0):
-                    denom_Sx[denom_Sx == 0] = np.maximum(
-                        np.max(self.Sx[denom_Sx == 0, :], 1), 0.001)
-                denom_Ux = np.percentile(self.Ux, 99.9, 1)
-                if np.sum(denom_Ux == 0):
-                    denom_Ux[denom_Ux == 0] = np.maximum(
-                        np.max(self.Ux[denom_Ux == 0, :], 1), 0.001)
-                X = self.Sx / denom_Sx[:, None] + self.Ux / denom_Ux[:, None]
-                down, up = np.percentile(X, maxmin_perc, axis=1)
-                W = ((X <= down[:, None]) | (X >= up[:, None])).astype(float)
-            elif weights == "maxmin_double":
-                denom_Sx = np.percentile(self.Sx, 99.9, 1)
-                denom_Sx[denom_Sx == 0] = np.maximum(
-                    np.max(self.Sx[denom_Sx == 0, :], 1), 0.001)
-                denom_Ux = np.percentile(self.Ux, 99.9, 1)
-                denom_Ux[denom_Ux == 0] = np.maximum(
-                    np.max(self.Ux[denom_Ux == 0, :], 1), 0.001)
-                X = self.Sx / denom_Sx[:, None] + self.Ux / denom_Ux[:, None]
-                down, up = np.percentile(X, maxmin_perc, axis=1)
-                W = ((X <= down[:, None]) | (X >= up[:, None])).astype(float)
-                down, up = np.percentile(self.Sx, maxmin_perc, 1)
-                W = W + ((self.Sx <= down[:, None]) |
-                         (self.Sx >= up[:, None])).astype(float)
+            elif weights not in ("sum", "prod", "maxmin_weighted", "maxmin",
+                                 "maxmin_diag", "maxmin_double"):
+                pass
+            elif all_ss:
+                from .ops.gamma import compute_fit_weights
+                need_xs = weights in ("maxmin_diag", "maxmin_double")
+                W = compute_fit_weights(
+                    weights, tmpS, tmpU,
+                    self._get_dev("Sx") if need_xs else None,
+                    self._get_dev("Ux") if need_xs else None,
+                    maxmin_perc, maxmin_weighted_pow)
+            else:
+                W = self._fit_weights_host(weights, tmpS, tmpU, maxmin_perc,
+                                           maxmin_weighted_pow)
+
+        if all_ss:
+            ssU, ssS = tmpU, tmpS
+        else:
+            ssU = tmpU[:, self.steady_state]
+            ssS = tmpS[:, self.steady_state]
 
         if fit_offset:
             if weighted:
                 self.gammas, self.q, self.R2 = fit_slope_weighted_offset(
-                    tmpU[:, self.steady_state], tmpS[:, self.steady_state],
-                    W, return_R2=True, limit_gamma=limit_gamma)
+                    ssU, ssS, W, return_R2=True, limit_gamma=limit_gamma)
             else:
-                self.gammas, self.q = fit_slope_offset(
-                    tmpU[:, self.steady_state], tmpS[:, self.steady_state])
+                self.gammas, self.q = fit_slope_offset(ssU, ssS)
         elif fixperc_q:
             if weighted:
                 self.gammas, self.q = fit_slope_weighted_offset(
-                    tmpU[:, self.steady_state], tmpS[:, self.steady_state],
-                    W, fixperc_q=True, return_R2=False,
+                    ssU, ssS, W, fixperc_q=True, return_R2=False,
                     limit_gamma=limit_gamma)
             else:
-                self.gammas, self.q = fit_slope_offset(
-                    tmpU[:, self.steady_state], tmpS[:, self.steady_state],
-                    fixperc_q=True)
+                self.gammas, self.q = fit_slope_offset(ssU, ssS,
+                                                       fixperc_q=True)
         else:
             if weighted:
                 self.gammas, self.R2 = fit_slope_weighted(
-                    tmpU[:, self.steady_state], tmpS[:, self.steady_state],
-                    W, return_R2=True, limit_gamma=limit_gamma)
+                    ssU, ssS, W, return_R2=True, limit_gamma=limit_gamma)
                 self.q = np.zeros_like(self.gammas)
             else:
-                self.gammas = fit_slope(tmpU[:, self.steady_state],
-                                        tmpS[:, self.steady_state])
+                self.gammas = fit_slope(ssU, ssS)
                 self.q = np.zeros_like(self.gammas)
         self.gammas[~np.isfinite(self.gammas)] = 0
+
+    def _fit_weights_host(self, weights: str, tmpS, tmpU, maxmin_perc,
+                          maxmin_weighted_pow):
+        """Host f64 weight schemes (reference analysis.py:1139-1191);
+        used only for the non-default steady-state subset path."""
+        if weights == "sum":
+            return (tmpS / np.percentile(tmpS, 99, 1)[:, None]) + \
+                (tmpU / np.percentile(tmpU, 99, 1)[:, None])
+        if weights == "prod":
+            return (tmpS / np.percentile(tmpS, 99, 1)[:, None]) * \
+                (tmpU / np.percentile(tmpU, 99, 1)[:, None])
+        if weights == "maxmin_weighted":
+            down, up = np.percentile(tmpS, maxmin_perc, 1)
+            Srange = np.clip(tmpS, down[:, None], up[:, None])
+            Srange = Srange - Srange.min(1)[:, None]
+            Srange = Srange / Srange.max(1)[:, None]
+            return 0.5 * (Srange ** maxmin_weighted_pow +
+                          (1 - Srange) ** maxmin_weighted_pow)
+        if weights == "maxmin":
+            down, up = np.percentile(tmpS, maxmin_perc, 1)
+            return ((tmpS <= down[:, None]) |
+                    (tmpS >= up[:, None])).astype(float)
+        denom_Sx = np.percentile(self.Sx, 99.9, 1)
+        if np.sum(denom_Sx == 0):
+            denom_Sx[denom_Sx == 0] = np.maximum(
+                np.max(self.Sx[denom_Sx == 0, :], 1), 0.001)
+        denom_Ux = np.percentile(self.Ux, 99.9, 1)
+        if np.sum(denom_Ux == 0):
+            denom_Ux[denom_Ux == 0] = np.maximum(
+                np.max(self.Ux[denom_Ux == 0, :], 1), 0.001)
+        X = self.Sx / denom_Sx[:, None] + self.Ux / denom_Ux[:, None]
+        down, up = np.percentile(X, maxmin_perc, axis=1)
+        W = ((X <= down[:, None]) | (X >= up[:, None])).astype(float)
+        if weights == "maxmin_double":
+            down, up = np.percentile(self.Sx, maxmin_perc, 1)
+            W = W + ((self.Sx <= down[:, None]) |
+                     (self.Sx >= up[:, None])).astype(float)
+        return W
 
     def filter_genes_good_fit(self, minR: float = 0.1,
                               min_gamma: float = 0.01) -> None:
@@ -883,23 +901,22 @@ class VelocytoLoom:
 
     def predict_U(self, which_gamma: str = "gammas", which_S: str = "Sx_sz",
                   which_offset: str = "q") -> None:
-        """Upred = gamma * S (+ q) (reference :1321-1346)."""
+        """Upred = gamma * S (+ q) (reference :1321-1346), on device."""
         self.which_S_for_pred = which_S
-        if which_offset is None:
-            self.Upred = getattr(self, which_gamma)[:, None] * \
-                getattr(self, which_S)
-        else:
-            self.Upred = getattr(self, which_gamma)[:, None] * \
-                getattr(self, which_S) + getattr(self, which_offset)[:, None]
+        gam = jnp.asarray(getattr(self, which_gamma), jnp.float32)
+        q = (jnp.zeros_like(gam) if which_offset is None
+             else jnp.asarray(getattr(self, which_offset), jnp.float32))
+        self._set_dev("Upred", _axpb_dev(self._get_dev(which_S), gam, q))
 
     def calculate_velocity(self, kind: str = "residual",
                            eps: Optional[float] = None) -> None:
-        """velocity = U - Upred (reference :1348-1379)."""
+        """velocity = U - Upred (reference :1348-1379), on device."""
         if kind == "residual":
             if self.which_S_for_pred == "Sx_sz":
-                self.velocity = self.Ux_sz - self.Upred
+                vel = _sub_dev(self._get_dev("Ux_sz"),
+                               self._get_dev("Upred"))
             elif self.which_S_for_pred == "Sx":
-                self.velocity = self.Ux - self.Upred
+                vel = _sub_dev(self._get_dev("Ux"), self._get_dev("Upred"))
             else:
                 raise NotImplementedError(
                     f"Not implemented with which_S = {self.which_S_for_pred}")
@@ -907,41 +924,44 @@ class VelocytoLoom:
             raise NotImplementedError(
                 f"Velocity calculation kind={kind} is not implemented")
         if eps:
-            minimal_signed_res = self.Upred.max(1) * eps
-            self.velocity[np.abs(self.velocity) <
-                          minimal_signed_res[:, None]] = 0
+            vel = _eps_clip_dev(vel, self._get_dev("Upred"),
+                                jnp.float32(eps))
+        self._set_dev("velocity", vel)
 
     def calculate_shift(self, assumption: str = "constant_velocity",
                         delta_t: float = 1) -> None:
-        """delta_S extrapolation (Model I / Model II, reference :1381-1408)."""
+        """delta_S extrapolation (Model I / Model II, reference
+        :1381-1408), on device."""
         if assumption == "constant_velocity":
-            self.delta_S = delta_t * self.velocity
+            vel = self._get_dev("velocity")
+            self._set_dev("delta_S",
+                          vel if delta_t == 1 else
+                          _scale_dev(vel, jnp.float32(delta_t)))
         elif assumption == "constant_unspliced":
-            Ux_szo = self.Ux_sz - self.q[:, None]
-            Ux_szo[Ux_szo < 0] = 0
-            egt = np.exp(-self.gammas * delta_t)[:, None]
-            self.delta_S = self.Sx_sz * egt + \
-                (1 - egt) * Ux_szo / self.gammas[:, None] - self.Sx_sz
+            self._set_dev("delta_S", _shift_model2_dev(
+                self._get_dev("Sx_sz"), self._get_dev("Ux_sz"),
+                jnp.asarray(self.gammas, jnp.float32),
+                jnp.asarray(self.q, jnp.float32), jnp.float32(delta_t)))
         else:
             raise NotImplementedError(
                 f"Assumption {assumption} is not implemented")
 
     def extrapolate_cell_at_t(self, delta_t: float = 1,
                               clip: bool = True) -> None:
-        """Extrapolated expression (reference :1410-1439)."""
+        """Extrapolated expression (reference :1410-1439), on device."""
         if self.which_S_for_pred == "Sx_sz":
-            self.Sx_sz_t = self.Sx_sz + delta_t * self.delta_S
-            if clip:
-                self.Sx_sz_t = np.clip(self.Sx_sz_t, 0, None)
-                self.used_delta_t = delta_t
+            Sname, tname = "Sx_sz", "Sx_sz_t"
         elif self.which_S_for_pred == "Sx":
-            self.Sx_t = self.Sx + delta_t * self.delta_S
-            if clip:
-                self.Sx_t = np.clip(self.Sx_t, 0, None)
-                self.used_delta_t = delta_t
+            Sname, tname = "Sx", "Sx_t"
         else:
             raise NotImplementedError(
                 "not implemented for other situations other than Sx or Sx_sz")
+        out = _extrapolate_dev(self._get_dev(Sname),
+                               self._get_dev("delta_S"),
+                               jnp.float32(delta_t), clip)
+        self._set_dev(tname, out)
+        if clip:
+            self.used_delta_t = delta_t
 
     def perform_TSNE(self, n_dims: int = 2, perplexity: float = 30,
                      initial_pos: Optional[np.ndarray] = None,
@@ -1006,6 +1026,11 @@ class VelocytoLoom:
             else:
                 psc = 0.0
 
+        # the sampled non-pcs path never materializes the (G, N) state:
+        # the transform, correlation kernels and the randomized control
+        # all consume the device-backed attributes directly
+        use_dev_transform = knn_random and "pcs" not in hidim
+
         if "pcs" in hidim:  # sic (reference :1531)
             hi_dim = np.array(getattr(self, hidim).T[:, :ndims], order="C")
             hi_dim_t = np.array(getattr(self, hidim + "_t").T[:, :ndims],
@@ -1015,18 +1040,24 @@ class VelocytoLoom:
                 raise ValueError(
                     f"ndims was set to {ndims} but hidim != 'pcs'. "
                     f"Set ndims = None for hidim='{hidim}'")
-            hi_dim = getattr(self, hidim)
+            hi_dim = None if use_dev_transform else getattr(self, hidim)
             hi_dim_t = hi_dim_t_rndm = None
-            if not (knn_random and "pcs" not in hidim):
+            if not use_dev_transform:
                 # host f64 path; the sampled path computes the
                 # displacement transform on device from delta_S directly
                 hi_dim_t = hi_dim + self.used_delta_t * self.delta_S
             if calculate_randomized:
-                self.delta_S_rndm = np.copy(self.delta_S)
-                permute_rows_nsign(self.delta_S_rndm)
-                if hi_dim_t is not None:
-                    hi_dim_t_rndm = hi_dim + self.used_delta_t * \
-                        self.delta_S_rndm
+                if use_dev_transform:
+                    dS = self._get_dev("delta_S")
+                    perms, signs = _permute_rows_nsign_plan(*dS.shape)
+                    self._set_dev("delta_S_rndm", _permute_apply_dev(
+                        dS, jnp.asarray(perms), jnp.asarray(signs)))
+                else:
+                    self.delta_S_rndm = np.copy(self.delta_S)
+                    permute_rows_nsign(self.delta_S_rndm)
+                    if hi_dim_t is not None:
+                        hi_dim_t_rndm = hi_dim + self.used_delta_t * \
+                            self.delta_S_rndm
 
         embedding = getattr(self, embed)
         self.embedding = embedding
@@ -1036,33 +1067,37 @@ class VelocytoLoom:
         N = embedding.shape[0]
         nn_k = min(n_neighbors + 1, N - 1)
         mesh = getattr(self, "mesh", None)
-        if embedding.shape[1] <= 3:
-            # low-dim embeddings (tsne/umap, D=2-3): a host kd-tree beats
-            # brute-force distances at any scale and matches the
-            # reference's own sklearn call here (analysis.py:1547-1549)
-            from sklearn.neighbors import NearestNeighbors
-            nn_model = NearestNeighbors(n_neighbors=min(nn_k + 1, N),
-                                        n_jobs=n_jobs)
-            nn_model.fit(embedding)
-            _dists, idx = nn_model.kneighbors(embedding)
-        elif mesh is not None:
-            from .ops.knn import knn_search_sharded
-            _dists, idx = knn_search_sharded(mesh, embedding,
-                                             min(nn_k + 1, N))
+        if knn_random:
+            # sampled mode: the (N, nn) neighbor matrix never leaves the
+            # device (sklearn-exact ordering via the f64 re-score); only
+            # the host-RNG sampled column positions are uploaded
+            from .ops import knn_device as kd
+            _dd, idx_dev = kd.knn_search_dev(embedding, min(nn_k + 1, N),
+                                             mesh=mesh)
+            neigh_full = _drop_self_dev(idx_dev, nn_k)
         else:
-            _dists, idx = knn_search(embedding, min(nn_k + 1, N))
-        rows = np.arange(N)
-        is_self = idx == rows[:, None]
-        first_self = np.where(is_self.any(1), is_self.argmax(1),
-                              idx.shape[1] - 1)
-        keep = np.ones_like(idx, dtype=bool)
-        keep[rows, first_self] = False
-        neigh_full = idx[keep].reshape(N, idx.shape[1] - 1)[:, :nn_k]
-        if not knn_random:
-            # knn_random immediately rebuilds embedding_knn from the
-            # sampled subset (reference :1562-1567 does too, after
-            # building this full version first); skip the transient
-            # O(N * nn_k) construction there
+            if embedding.shape[1] <= 3:
+                # low-dim embeddings (tsne/umap, D=2-3): a host kd-tree
+                # beats brute-force distances at any scale and matches
+                # the reference's sklearn call (analysis.py:1547-1549)
+                from sklearn.neighbors import NearestNeighbors
+                nn_model = NearestNeighbors(n_neighbors=min(nn_k + 1, N),
+                                            n_jobs=n_jobs)
+                nn_model.fit(embedding)
+                _dists, idx = nn_model.kneighbors(embedding)
+            elif mesh is not None:
+                from .ops.knn import knn_search_sharded
+                _dists, idx = knn_search_sharded(mesh, embedding,
+                                                 min(nn_k + 1, N))
+            else:
+                _dists, idx = knn_search(embedding, min(nn_k + 1, N))
+            rows = np.arange(N)
+            is_self = idx == rows[:, None]
+            first_self = np.where(is_self.any(1), is_self.argmax(1),
+                                  idx.shape[1] - 1)
+            keep = np.ones_like(idx, dtype=bool)
+            keep[rows, first_self] = False
+            neigh_full = idx[keep].reshape(N, idx.shape[1] - 1)[:, :nn_k]
             self.embedding_knn = sparse.csr_matrix(
                 (np.ones(N * nn_k), neigh_full.ravel(),
                  np.arange(0, N * nn_k + 1, nn_k)),
@@ -1074,7 +1109,6 @@ class VelocytoLoom:
         # replaces ~15 s of host f64 full-matrix passes.  The host f64
         # _transform_for_corr stays for the full variant and the "pcs"
         # hidim (where hi_dim_t is an independent attribute).
-        use_dev_transform = knn_random and "pcs" not in hidim
         if use_dev_transform and transform not in ("log", "logratio",
                                                    "linear", "sqrt"):
             raise NotImplementedError(
@@ -1084,50 +1118,49 @@ class VelocytoLoom:
             np.random.seed(random_seed)
             self.corr_calc = "knn_random"
             # Pick random neighbours and prune the rest (reference :1551-1572)
-            neigh_ixs = neigh_full
-            p = np.linspace(sampling_probs[0], sampling_probs[1],
-                            neigh_ixs.shape[1])
+            p = np.linspace(sampling_probs[0], sampling_probs[1], nn_k)
             p = p / p.sum()
             n_samp = int(sampled_fraction * nn_k)
             # the reference's per-cell np.random.choice loop
             # (analysis.py:1555-1560); the C++ path replays the exact
             # MT19937 stream (validated bit-for-bit) and then advances
-            # numpy's global state to the matching position
+            # numpy's global state to the matching position.  The drawn
+            # COLUMN POSITIONS are data-independent, so the gather of the
+            # sampled neighbors happens on device.
             from . import native as _native
             _nat = _native.choice_noreplace_rows(
-                random_seed, neigh_ixs.shape[0], neigh_ixs.shape[1],
-                n_samp, p) if _native.available() else None
+                random_seed, N, nn_k, n_samp, p) \
+                if _native.available() else None
             if _nat is not None:
                 sampling_ixs, _draws = _nat
                 np.random.random_sample(_draws)
             else:
                 sampling_ixs = np.stack(
-                    [np.random.choice(neigh_ixs.shape[1],
-                                      size=(n_samp,),
+                    [np.random.choice(nn_k, size=(n_samp,),
                                       replace=False, p=p)
-                     for _ in range(neigh_ixs.shape[0])], 0)
+                     for _ in range(N)], 0)
             self.sampling_ixs = sampling_ixs
-            neigh_ixs = neigh_ixs[np.arange(neigh_ixs.shape[0])[:, None],
-                                  sampling_ixs]
-            nonzero = neigh_ixs.shape[0] * neigh_ixs.shape[1]
-            self.embedding_knn = sparse.csr_matrix(
-                (np.ones(nonzero), neigh_ixs.ravel(),
-                 np.arange(0, nonzero + 1, neigh_ixs.shape[1])),
-                shape=(neigh_ixs.shape[0], neigh_ixs.shape[0]))
+            neigh_ixs = jnp.take_along_axis(
+                neigh_full, jnp.asarray(sampling_ixs.astype(np.int32)),
+                axis=1)
+            # embedding_knn materializes lazily from the device indices
+            for stale in ("embedding_knn", "_compact_ixs"):
+                self.__dict__.pop(stale, None)
+            self._compact_ixs_dev = neigh_ixs
 
             if use_dev_transform:
                 kernel_tf = {"log": "log10", "logratio": "linear",
                              "linear": "linear", "sqrt": "sqrt"}[transform]
-                hi32 = jnp.asarray(hi_dim, jnp.float32)
+                hi32 = self._get_dev(hidim)
                 emat = (_log2_psc_dev(hi32, psc)
                         if transform == "logratio" else hi32)
                 d_main = _corr_transform_dev(
-                    hi32, jnp.asarray(self.delta_S, jnp.float32),
+                    hi32, self._get_dev("delta_S"),
                     self.used_delta_t, psc, transform)
                 d_rndm = None
                 if calculate_randomized:
                     d_rndm = _corr_transform_dev(
-                        hi32, jnp.asarray(self.delta_S_rndm, jnp.float32),
+                        hi32, self._get_dev("delta_S_rndm"),
                         self.used_delta_t, psc, transform)
                 tf = kernel_tf
             else:
@@ -1166,7 +1199,6 @@ class VelocytoLoom:
                     "Nans encountered in corrcoef and corrected to 1s. "
                     "If not identical cells were present it is probably "
                     "a small isolated cluster converging after imputation.")
-            self._compact_ixs = neigh_ixs.astype(np.int64)
             self._corr_dev = cm_dev
             # the reference overwrites corrcoef here but leaves any old
             # transition_prob stale until the next embedding-shift call:
@@ -1183,7 +1215,7 @@ class VelocytoLoom:
             self.corr_calc = "full"
             for stale in ("_corr_dev", "_corr_rndm_dev", "_compact_corr",
                           "_compact_corr_random", "_compact_ixs",
-                          "_tp_sigma"):
+                          "_compact_ixs_dev", "_tp_sigma"):
                 self.__dict__.pop(stale, None)
             tf, emat, d_main, d_rndm = self._transform_for_corr(
                 transform, psc, hi_dim, hi_dim_t,
@@ -1297,8 +1329,14 @@ class VelocytoLoom:
             self.__dict__[key] = cached
         return cached
 
-    def _materialize_dense(self, name: str) -> np.ndarray:
+    def _compact_ixs_or_none(self) -> Optional[np.ndarray]:
         ixs = self.__dict__.get("_compact_ixs")
+        if ixs is None and self.__dict__.get("_compact_ixs_dev") is not None:
+            ixs = self._compact_ixs          # lazy pull + cache
+        return ixs
+
+    def _materialize_dense(self, name: str) -> np.ndarray:
+        ixs = self._compact_ixs_or_none()
         if ixs is None:
             raise AttributeError(name)
         which = "main" if not name.endswith("_random") else "rndm"
@@ -1327,18 +1365,21 @@ class VelocytoLoom:
         estimate_transition_prob still corresponds to self.corrcoef.
         If the dense view was materialized (and possibly mutated by the
         caller) it is spot-checked on a random sample of entries."""
-        ixs = self.__dict__.get("_compact_ixs")
-        if ixs is None or getattr(self, "corr_calc", None) != "knn_random":
+        ixs_any = self.__dict__.get("_compact_ixs")
+        if ixs_any is None:
+            ixs_any = self.__dict__.get("_compact_ixs_dev")
+        if ixs_any is None or getattr(self, "corr_calc", None) != "knn_random":
             return False
         if (self.__dict__.get("_corr_dev") is None
                 and self.__dict__.get("_compact_corr") is None):
             return False
-        n = ixs.shape[0]
+        n = ixs_any.shape[0]
         dense = self.__dict__.get("corrcoef")
         if dense is None:
             return True                      # never materialized => pristine
         if dense.shape[0] != n:
             return False
+        ixs = self._compact_ixs_or_none()
         cm = self._compact_corr_host("main")
         if ixs.shape != cm.shape:
             return False
@@ -1422,7 +1463,9 @@ class VelocytoLoom:
         O(N^2) work left is the scatter that materializes the dense
         transition_prob for API parity.
         """
-        ixs = self._compact_ixs
+        ixs = self.__dict__.get("_compact_ixs_dev")
+        if ixs is None:
+            ixs = self._compact_ixs
         mesh = getattr(self, "mesh", None)
 
         def _p_dev(which):
@@ -1449,9 +1492,10 @@ class VelocytoLoom:
             mesh, emb, ixs, p_main).astype(np.float64)
 
         if expression_scaling:
-            hi_dim = getattr(self, self.which_hidim)
-            hi_rows = np.ascontiguousarray(hi_dim.T, dtype=np.float32)
-            d_rows = np.ascontiguousarray(self.delta_S.T, dtype=np.float32)
+            # device transposes of the (G, N) device-backed state; no
+            # host materialization for the projection
+            hi_rows = self._get_dev(self.which_hidim).T
+            d_rows = self._get_dev("delta_S").T
             num, den = _expr_scaling_compact(mesh, hi_rows, d_rows, ixs,
                                              p_main)
             self.scaling = np.clip(num / den / scaling_penalty, 0, 1)
@@ -1462,8 +1506,7 @@ class VelocytoLoom:
             self.delta_embedding_random = _embedding_shift_compact(
                 mesh, emb, ixs, p_rndm).astype(np.float64)
             if expression_scaling:
-                dr_rows = np.ascontiguousarray(self.delta_S_rndm.T,
-                                               dtype=np.float32)
+                dr_rows = self._get_dev("delta_S_rndm").T
                 num_r, den_r = _expr_scaling_compact(mesh, hi_rows, dr_rows,
                                                      ixs, p_rndm)
                 self.scaling_rndm = np.clip(num_r / den_r / scaling_penalty,
@@ -1999,6 +2042,82 @@ def _embedding_shift_blocked(emb: jax.Array, P: jax.Array, K: jax.Array,
     dense (D, N, N) unitary-vector tensor (analysis.py:1704-1712).
     """
     return _embedding_shift_rows(emb, emb, P, K, K_rowsum, block)
+
+
+# --- device transition-prob support (reference analysis.py:1452-1668) ---
+
+@functools.partial(jax.jit, static_argnames=("nn_k",))
+def _drop_self_dev(idx: jax.Array, nn_k: int) -> jax.Array:
+    """Remove the self column from a (N, cols) neighbor-index matrix
+    (sklearn kneighbors semantics: the query point is not its own
+    neighbor; reference analysis.py:1547-1549) and truncate to nn_k."""
+    n, cols = idx.shape
+    rows = jnp.arange(n, dtype=idx.dtype)[:, None]
+    is_self = idx == rows
+    first_self = jnp.where(is_self.any(1), jnp.argmax(is_self, 1), cols - 1)
+    j = jnp.arange(cols - 1)
+    src = j[None, :] + (j[None, :] >= first_self[:, None])
+    return jnp.take_along_axis(idx, src, axis=1)[:, :nn_k]
+
+
+def _permute_rows_nsign_plan(g: int, n: int):
+    """The row permutations + sign flips permute_rows_nsign would apply,
+    computed from the same global np.random draw sequence but without
+    touching the data -- so the (G, N) matrix itself can stay on device
+    and only the (G, N) uint16/int32 plan is uploaded."""
+    perms = np.empty((g, n), np.uint16 if n <= 65536 else np.int32)
+    signs = np.empty((g, n), np.int8)
+    plmi = np.array([+1, -1])
+    base = np.arange(n)
+    for i in range(g):
+        p = base.copy()
+        np.random.shuffle(p)           # same draw count as shuffling a row
+        perms[i] = p
+        signs[i] = np.random.choice(plmi, size=n)
+    return perms, signs
+
+
+@jax.jit
+def _permute_apply_dev(delta: jax.Array, perms: jax.Array,
+                       signs: jax.Array) -> jax.Array:
+    return jnp.take_along_axis(delta, perms.astype(jnp.int32), axis=1) \
+        * signs.astype(delta.dtype)
+
+
+# --- device velocity chain (reference analysis.py:1321-1439) ---
+
+@jax.jit
+def _axpb_dev(S, gam, q):
+    return gam[:, None] * S + q[:, None]
+
+
+@jax.jit
+def _sub_dev(a, b):
+    return a - b
+
+
+@jax.jit
+def _scale_dev(a, s):
+    return s * a
+
+
+@jax.jit
+def _eps_clip_dev(vel, upred, eps):
+    msr = jnp.max(upred, axis=1) * eps
+    return jnp.where(jnp.abs(vel) < msr[:, None], 0.0, vel)
+
+
+@jax.jit
+def _shift_model2_dev(Sx_sz, Ux_sz, gammas, q, dt):
+    Ux_szo = jnp.maximum(Ux_sz - q[:, None], 0.0)
+    egt = jnp.exp(-gammas * dt)[:, None]
+    return Sx_sz * egt + (1 - egt) * Ux_szo / gammas[:, None] - Sx_sz
+
+
+@functools.partial(jax.jit, static_argnames=("clip",))
+def _extrapolate_dev(S, dS, dt, clip):
+    out = S + dt * dS
+    return jnp.maximum(out, 0.0) if clip else out
 
 
 @functools.partial(jax.jit, static_argnames=("kind",))

@@ -76,16 +76,18 @@ def _init_pool_worker(counter_bytes: bytes) -> None:
     _POOL_ENGINE = SoaEngine(pickle.loads(counter_bytes))
 
 
-def _pool_count_range(bamfiles: List[str], multimap: bool,
-                      cell_batch_size: int, wid: int, nproc: int):
-    """pcount worker: runs the serial counting pass over the cells this
-    worker owns (stable-hash partition), against the initializer-built
-    engine.  Returns concatenated per-layer matrices + column order +
-    per-file marks (+ the global cell order from worker 0)."""
+def _pool_count_owner(bamfiles: List[str], multimap: bool,
+                      cell_batch_size: int, owner_spec, track_global: bool):
+    """Counting worker: runs the serial counting pass over the cells this
+    worker owns -- `owner_spec` is either a (wid, nproc) stable-hash
+    partition or an explicit frozenset of barcodes (multi-host barcode
+    ranges) -- against the initializer-built engine.  Returns
+    concatenated per-layer matrices + column order + per-file marks
+    (+ the global first-encounter cell order when track_global)."""
     eng = _POOL_ENGINE
     dla, order, marks, glob = eng._count_impl(
-        bamfiles, multimap, cell_batch_size, owner=(wid, nproc),
-        track_global=(wid == 0),
+        bamfiles, multimap, cell_batch_size, owner=owner_spec,
+        track_global=track_global,
         batch_reads=1 << 16)   # small decode batches: fresh processes pay
                                # first-touch faults per page
     n_genes = len(eng.c.geneid2ix)
@@ -93,6 +95,63 @@ def _pool_count_range(bamfiles: List[str], multimap: bool,
                     np.zeros((n_genes, 0), dtype=eng.c.loom_numeric_dtype))
             for layer, arrs in dla.items()}
     return mats, order, marks, glob, eng.skipped_no_barcode
+
+
+def run_owner_pool(counter, bamfiles: List[str], multimap: bool,
+                   cell_batch_size: int, owners: List,
+                   in_process: bool = False) -> List:
+    """THE parallel-counting mechanism: one worker per ownership spec,
+    every worker rebuilt from ONE pickled prepared (GTF-parsed +
+    marked-up) counter -- annotation parsing and the intron-validation
+    BAM pass happen exactly once, in the caller.
+
+    Used by ExInCounter.pcount (stable-hash owners, single host) and by
+    parallel.feeders.count_distributed (barcode-range owners, the
+    multi-host layout).  Workers are SPAWNED (fork is unsafe in a
+    JAX-threaded parent); in_process=True runs them sequentially here
+    (dryruns / tests).
+    """
+    import pickle
+    bamfiles = [str(b) for b in bamfiles]
+    soa = counter.__dict__.pop("_soa", None)   # engine buffers stay local
+    try:
+        payload = pickle.dumps(counter, protocol=pickle.HIGHEST_PROTOCOL)
+    finally:
+        if soa is not None:
+            counter._soa = soa
+    if in_process or len(owners) == 1:
+        results = []
+        for w, spec in enumerate(owners):
+            _init_pool_worker(payload)
+            results.append(_pool_count_owner(bamfiles, multimap,
+                                             cell_batch_size, spec, w == 0))
+        return results
+    import concurrent.futures as cf
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
+    with cf.ProcessPoolExecutor(max_workers=len(owners), mp_context=ctx,
+                                initializer=_init_pool_worker,
+                                initargs=(payload,)) as pool:
+        futs = [pool.submit(_pool_count_owner, bamfiles, multimap,
+                            cell_batch_size, spec, w == 0)
+                for w, spec in enumerate(owners)]
+        return [f.result() for f in futs]
+
+
+def assemble_owner_results(results: List) -> Tuple:
+    """Map each worker column to its global position in the serial
+    first-encounter order.  Returns (col_of {(file_idx, name): (worker,
+    col)}, final ordered keys, cell name order)."""
+    col_of: Dict[Tuple[int, str], Tuple[int, int]] = {}
+    for w, (mats, order, marks, _glob, _skipped) in enumerate(results):
+        fi = 0
+        for j, name in enumerate(order):
+            while fi < len(marks) and j >= marks[fi]:
+                fi += 1
+            col_of[(fi, name)] = (w, j)
+    global_order = results[0][3]
+    final = [key for key in global_order if key in col_of]
+    return col_of, final, [name for (_fi, name) in final]
 
 
 def _last_end(rb: ReadBatch) -> np.ndarray:
@@ -303,7 +362,9 @@ class SoaEngine:
         def owned(name: str) -> bool:
             if owner is None:
                 return True
-            wid, nproc = owner
+            if isinstance(owner, (set, frozenset)):
+                return name in owner          # explicit barcode ownership
+            wid, nproc = owner                # stable-hash ownership
             return crc32(name.encode()) % nproc == wid
 
         def flush() -> None:
@@ -402,51 +463,22 @@ class SoaEngine:
         """
         if n_processes <= 1:
             return self.count(bamfiles, multimap, cell_batch_size)
-        import concurrent.futures as cf
-        import multiprocessing as mp
-        import pickle
         c = self.c
-        bamfiles = list(bamfiles)
-
-        payload = pickle.dumps(self.c, protocol=pickle.HIGHEST_PROTOCOL)
-        ctx = mp.get_context("spawn")
-        with cf.ProcessPoolExecutor(max_workers=n_processes,
-                                    mp_context=ctx,
-                                    initializer=_init_pool_worker,
-                                    initargs=(payload,)) as pool:
-            futs = [pool.submit(_pool_count_range, bamfiles, multimap,
-                                cell_batch_size, w, n_processes)
-                    for w in range(n_processes)]
-            results = [f.result() for f in futs]
-
-        layers = list(c.logic.layers)
-        n_genes = len(c.geneid2ix)
-        # tag each worker column with its (file_idx, name) key
-        col_of: Dict[Tuple[int, str], Tuple[int, int]] = {}
-        worker_mats: List[Dict[str, np.ndarray]] = []
-        for w, (mats, order, marks, _glob, skipped) in enumerate(results):
-            worker_mats.append(mats)
-            fi = 0
-            for j, name in enumerate(order):
-                while fi < len(marks) and j >= marks[fi]:
-                    fi += 1
-                col_of[(fi, name)] = (w, j)
-            if w == 0:
-                self.skipped_no_barcode = skipped
-        global_order = results[0][3]
-        final = [key for key in global_order if key in col_of]
-
+        owners = [(w, n_processes) for w in range(n_processes)]
+        results = run_owner_pool(c, list(bamfiles), multimap,
+                                 cell_batch_size, owners)
+        self.skipped_no_barcode = results[0][4]
+        col_of, final, cell_bcs_order = assemble_owner_results(results)
         dict_list_arrays: Dict[str, List[np.ndarray]] = {}
-        for layer in layers:
-            out = np.zeros((n_genes, len(final)),
+        for layer in c.logic.layers:
+            out = np.zeros((len(c.geneid2ix), len(final)),
                            dtype=c.loom_numeric_dtype, order="C")
             for k, key in enumerate(final):
                 w, j = col_of[key]
-                m = worker_mats[w][layer]
+                m = results[w][0][layer]
                 if m.shape[1]:
                     out[:, k] = m[:, j]
             dict_list_arrays[layer] = [out] if len(final) else []
-        cell_bcs_order = [name for (_fi, name) in final]
         logging.debug("Counting done!")
         return dict_list_arrays, cell_bcs_order
 

@@ -241,47 +241,63 @@ def fit_slope_offset(Y, X, fixperc_q: bool = False):
     return np.array(m, dtype=np.float32), np.array(q, dtype=np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("scheme",))
-def _fit_weights_impl(tmpS, tmpU, Sx, Ux, scheme: str, lo, hi, wpow):
-    """The fit_gammas weighting schemes (reference analysis.py:1139-1191)
-    as one fused device program over the (genes, cells) matrices.
+# The fit_gammas weighting schemes (reference analysis.py:1139-1191) as
+# fused device programs over the (genes, cells) matrices.  Replaces the
+# host numpy percentile passes; boundary elements may differ from the
+# host f64 masks by f32 rounding at the percentile thresholds (each
+# flips one 0/1 weight among N cells).
 
-    Replaces the host numpy percentile passes; boundary elements may
-    differ from the host f64 masks by f32 rounding at the percentile
-    thresholds (each flips one 0/1 weight among N cells).
-    """
-    if scheme == "sum":
-        return (tmpS / jnp.percentile(tmpS, 99.0, axis=1)[:, None]
-                + tmpU / jnp.percentile(tmpU, 99.0, axis=1)[:, None])
-    if scheme == "prod":
-        return (tmpS / jnp.percentile(tmpS, 99.0, axis=1)[:, None]
-                * (tmpU / jnp.percentile(tmpU, 99.0, axis=1)[:, None]))
+
+def _row_percentiles(M, qs):
+    """np.percentile(M, qs, axis=1) (linear interpolation) with static
+    qs: ONE row sort serves every requested percentile via static
+    column slicing.  (jnp.percentile's generic lowering proved
+    pathologically slow to execute on some remote TPU backends; this
+    explicit sort + static-gather form is the minimal program.)"""
+    s = jnp.sort(M, axis=1)
+    n = M.shape[1]
+    out = []
+    for q in qs:
+        h = (n - 1) * (float(q) / 100.0)
+        lo_i = int(np.floor(h))
+        hi_i = int(np.ceil(h))
+        frac = jnp.asarray(h - lo_i, M.dtype)
+        out.append(s[:, lo_i] * (1 - frac) + s[:, hi_i] * frac)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scheme", "lo", "hi", "wpow"))
+def _fit_weights_tmp_impl(tmpS, tmpU, scheme: str, lo, hi, wpow):
+    if scheme in ("sum", "prod"):
+        (p99S,) = _row_percentiles(tmpS, (99.0,))
+        (p99U,) = _row_percentiles(tmpU, (99.0,))
+        if scheme == "sum":
+            return tmpS / p99S[:, None] + tmpU / p99U[:, None]
+        return (tmpS / p99S[:, None]) * (tmpU / p99U[:, None])
+    down, up = _row_percentiles(tmpS, (lo, hi))
     if scheme == "maxmin_weighted":
-        down = jnp.percentile(tmpS, lo, axis=1)
-        up = jnp.percentile(tmpS, hi, axis=1)
         Srange = jnp.clip(tmpS, down[:, None], up[:, None])
         Srange = Srange - Srange.min(1)[:, None]
         Srange = Srange / Srange.max(1)[:, None]
         return 0.5 * (Srange ** wpow + (1 - Srange) ** wpow)
-    if scheme == "maxmin":
-        down = jnp.percentile(tmpS, lo, axis=1)
-        up = jnp.percentile(tmpS, hi, axis=1)
-        return ((tmpS <= down[:, None])
-                | (tmpS >= up[:, None])).astype(jnp.float32)
+    return ((tmpS <= down[:, None])                         # "maxmin"
+            | (tmpS >= up[:, None])).astype(jnp.float32)
 
+
+@functools.partial(jax.jit, static_argnames=("scheme", "lo", "hi"))
+def _fit_weights_xs_impl(Sx, Ux, scheme: str, lo, hi):
     # maxmin_diag / maxmin_double operate on the unsized imputed data
     def _denom(M):
-        d = jnp.percentile(M, 99.9, axis=1)
+        (d,) = _row_percentiles(M, (99.9,))
         repl = jnp.maximum(jnp.max(M, axis=1), 0.001)
         return jnp.where(d == 0, repl, d)
 
     X = Sx / _denom(Sx)[:, None] + Ux / _denom(Ux)[:, None]
-    down = jnp.percentile(X, lo, axis=1)
-    up = jnp.percentile(X, hi, axis=1)
+    down, up = _row_percentiles(X, (lo, hi))
     W = ((X <= down[:, None]) | (X >= up[:, None])).astype(jnp.float32)
     if scheme == "maxmin_double":
-        down = jnp.percentile(Sx, lo, axis=1)
-        up = jnp.percentile(Sx, hi, axis=1)
+        down, up = _row_percentiles(Sx, (lo, hi))
         W = W + ((Sx <= down[:, None])
                  | (Sx >= up[:, None])).astype(jnp.float32)
     return W
@@ -293,16 +309,14 @@ def compute_fit_weights(scheme: str, tmpS, tmpU, Sx, Ux,
     """Device fit_gammas weights; inputs are (genes, cells) f32 device
     (or host) arrays, output stays on device.  Only the matrices the
     scheme actually reads are uploaded."""
-    dummy = jnp.zeros((1, 1), jnp.float32)
+    lo, hi = float(maxmin_perc[0]), float(maxmin_perc[1])
     if scheme in ("sum", "prod", "maxmin_weighted", "maxmin"):
-        a, b, c, d = (jnp.asarray(tmpS, jnp.float32),
-                      jnp.asarray(tmpU, jnp.float32), dummy, dummy)
-    else:
-        a, b, c, d = (dummy, dummy, jnp.asarray(Sx, jnp.float32),
-                      jnp.asarray(Ux, jnp.float32))
-    return _fit_weights_impl(
-        a, b, c, d, scheme, float(maxmin_perc[0]), float(maxmin_perc[1]),
-        float(maxmin_weighted_pow))
+        return _fit_weights_tmp_impl(
+            jnp.asarray(tmpS, jnp.float32), jnp.asarray(tmpU, jnp.float32),
+            scheme, lo, hi, float(maxmin_weighted_pow))
+    return _fit_weights_xs_impl(
+        jnp.asarray(Sx, jnp.float32), jnp.asarray(Ux, jnp.float32),
+        scheme, lo, hi)
 
 
 def clusters_stats(U: np.ndarray, S: np.ndarray, clusters_uid: np.ndarray,

@@ -4,22 +4,25 @@ The reference's counting loop is single-threaded by design (its `pcount`
 is a NotImplementedError stub, reference counter.py:1256-1265).  Here the
 TPU-native scale-out layout (SURVEY "Parallelism inventory"): the valid
 barcode set is split into contiguous ranges; one FEEDER per range decodes
-the cell-sorted BAM with the native reader, counts only its own cells
-(the GTF-derived interval index is replicated per feeder, replacing the
-reference's per-process FeatureIndex sweep), and scatters its columns
-into the global (genes, cells) frame.  Because every feeder's non-owned
-columns are zero, the global matrix is the elementwise SUM of the feeder
-partials -- which is exactly `merge_feeder_counts`' shard_map psum over
-the device mesh (ICI within a slice, DCN across hosts).
+the cell-sorted BAM with the native reader and counts only its own cells.
+Because every feeder's non-owned columns are zero, the global matrix is
+the elementwise SUM of the feeder partials -- which is exactly
+`merge_feeder_counts`' shard_map psum over the device mesh (ICI within a
+slice, DCN across hosts).
+
+ONE preparation, N feeders: the GTF parse and the intron-validation
+markup pass over the BAM run exactly once (in the caller or here), and
+the resulting marked-up counter is shipped to every feeder in pickled
+form (counting.soa_engine.run_owner_pool).  This is the same mechanism
+ExInCounter.pcount uses for single-host `velocyto run -p N`, so serial,
+-p, and multi-host counting share one worker path and produce the SAME
+loom column order (serial first-encounter order), bit-identically.
 
 Cell-ownership partitioning keeps molecules whole (a molecule is one
-(bc, umi): it never spans feeders), so the result is bit-identical to
-the serial pass; validated in tests/test_feeders.py and in the
-multichip dryrun (__graft_entry__.py) end-to-end from BAM bytes.
-
-Feeders run as SPAWNED processes (fork is unsafe in a JAX-threaded
-parent): each worker receives (bam paths, gtf path, config) and builds
-its own engine, mirroring what a real multi-host deployment does.
+(bc, umi): it never spans feeders); validated in tests/test_feeders.py
+and in the multichip dryrun (__graft_entry__.py) end-to-end from BAM
+bytes.  Feeders run as SPAWNED processes (fork is unsafe in a
+JAX-threaded parent), mirroring a real multi-host deployment.
 """
 from __future__ import annotations
 
@@ -29,105 +32,102 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
-def _feeder_worker(args) -> Tuple[Dict[str, np.ndarray], List[str]]:
-    """One feeder: parse the GTF (replicated index), count the BAM(s)
-    restricted to the owned barcodes, return (layers, owned-cell order).
-    Runs in a spawned process; imports happen here."""
-    (bamfiles, markup_bamfiles, gtffile, maskfile, logic_name, owned_bcs,
-     all_bcs, umi_extension, onefilepercell, multimap,
-     cell_batch_size) = args
+def prepare_counter(bamfiles: Sequence[str], gtffile: str,
+                    valid_bcs: Optional[Sequence[str]] = None,
+                    logic_name: str = "Default",
+                    maskfile: Optional[str] = None,
+                    markup_bamfiles: Optional[Sequence[str]] = None,
+                    umi_extension: str = "no",
+                    onefilepercell: bool = False,
+                    multimap: bool = False):
+    """Build the fully-prepared (GTF-parsed, repeat-masked, intron-
+    validated) counter ONCE; feeders are rebuilt from its pickle."""
     from ..counting.counter import ExInCounter
     from ..counting import logics as _logics
 
     logic = getattr(_logics, logic_name)
-    # intron-validation markup must see ALL whitelisted cells' reads
-    # (barcode filtering applies to markup in the reference too,
-    # counter.py:262-306) or feeders would validate fewer introns than
-    # the serial pass; the feeder's own range only restricts counting.
     counter = ExInCounter(sampleid="feeder", logic=logic,
-                          valid_bcset=set(all_bcs),
+                          valid_bcset=set(valid_bcs) if valid_bcs else None,
                           umi_extension=umi_extension,
                           onefilepercell=onefilepercell)
-    counter.peek(bamfiles[0])
+    counter.peek(str(bamfiles[0]))
     counter.read_transcriptmodels(gtffile)
     if maskfile:
         counter.read_repeats(maskfile)
     if counter.logic.perform_validation_markup:
-        counter.mark_up_introns(markup_bamfiles or bamfiles, multimap)
-    counter.valid_bcset = set(owned_bcs)
-    counter._soa = None       # reset the engine's barcode-decision cache
-    layers_lists, order = counter.count(bamfiles, multimap, cell_batch_size)
-    layers = {k: (np.concatenate(v, axis=1) if v else
-                  np.zeros((len(counter.geneid2ix), 0), dtype=np.uint32))
-              for k, v in layers_lists.items()}
-    return layers, order
+        counter.mark_up_introns([str(b) for b in (markup_bamfiles
+                                                  or bamfiles)], multimap)
+    return counter
 
 
-def count_distributed(bamfiles: Sequence[str], gtffile: str,
-                      valid_bcs: Sequence[str], logic_name: str = "Default",
+def count_distributed(bamfiles: Sequence[str], gtffile: Optional[str] = None,
+                      valid_bcs: Optional[Sequence[str]] = None,
+                      logic_name: str = "Default",
                       maskfile: Optional[str] = None,
                       markup_bamfiles: Optional[Sequence[str]] = None,
                       umi_extension: str = "no",
                       onefilepercell: bool = False, multimap: bool = False,
                       n_feeders: int = 2, cell_batch_size: int = 100,
-                      mesh=None, in_process: bool = False
+                      mesh=None, in_process: bool = False,
+                      counter=None
                       ) -> Tuple[Dict[str, np.ndarray], List[str]]:
-    """Count `bamfiles` with `n_feeders` feeder processes partitioned by
-    barcode range, merging partials on the device mesh.
+    """Count `bamfiles` with `n_feeders` feeders, merging partials on the
+    device mesh.
 
-    Returns (layers dict of (genes, n_cells) arrays, cell order =
-    `valid_bcs` order restricted to observed cells).
+    Returns (layers dict of (genes, n_cells) arrays, cell order) where
+    the order is the serial pass's first-encounter order -- the result
+    is bit-identical (values AND columns) to ExInCounter.count.
 
-    bamfiles: cell-sorted BAM(s) for the counting pass;
-    markup_bamfiles: position-sorted BAM(s) for intron validation
-    (defaults to bamfiles).  mesh: jax Mesh for the psum merge (None ->
-    host-side sum, identical result).  in_process=True runs feeders
-    sequentially in this process (used by the dryrun to avoid worker
-    startup cost).
+    counter: an already-prepared ExInCounter (skips GTF/markup here);
+    otherwise gtffile is required and preparation runs once.
+    valid_bcs: explicit whitelist -> contiguous barcode-range ownership
+    (the multi-host layout for a cell-sorted BAM); None -> stable-hash
+    ownership.  mesh: jax Mesh for the psum merge (None -> host-side
+    sum, identical result).  in_process=True runs feeders sequentially
+    in this process (dryruns / tests).
     """
-    valid_bcs = list(valid_bcs)
-    n_feeders = max(1, min(n_feeders, len(valid_bcs)))
-    ranges = np.array_split(np.arange(len(valid_bcs)), n_feeders)
-    jobs = [([str(b) for b in bamfiles],
-             [str(b) for b in markup_bamfiles] if markup_bamfiles else None,
-             gtffile, maskfile, logic_name,
-             [valid_bcs[i] for i in r], valid_bcs, umi_extension,
-             onefilepercell, multimap, cell_batch_size) for r in ranges]
+    from ..counting import soa_engine
 
-    if in_process or n_feeders == 1:
-        results = [_feeder_worker(j) for j in jobs]
+    bamfiles = [str(b) for b in bamfiles]
+    if counter is None:
+        if gtffile is None:
+            raise ValueError("either `counter` or `gtffile` is required")
+        counter = prepare_counter(bamfiles, gtffile, valid_bcs, logic_name,
+                                  maskfile, markup_bamfiles, umi_extension,
+                                  onefilepercell, multimap)
+
+    if valid_bcs is not None:
+        valid_bcs = list(valid_bcs)
+        n_feeders = max(1, min(n_feeders, len(valid_bcs)))
+        ranges = np.array_split(np.arange(len(valid_bcs)), n_feeders)
+        owners: List = [frozenset(valid_bcs[i] for i in r) for r in ranges]
     else:
-        import concurrent.futures as cf
-        import multiprocessing as mp
-        ctx = mp.get_context("spawn")      # fork-unsafe JAX parent
-        with cf.ProcessPoolExecutor(max_workers=n_feeders,
-                                    mp_context=ctx) as pool:
-            results = list(pool.map(_feeder_worker, jobs))
+        n_feeders = max(1, n_feeders)
+        owners = [(w, n_feeders) for w in range(n_feeders)]
 
-    # global frame: valid_bcs order restricted to cells any feeder saw
-    seen = set()
-    for _layers, order in results:
-        seen.update(order)
-    global_order = [bc for bc in valid_bcs if bc in seen]
-    col_of = {bc: i for i, bc in enumerate(global_order)}
-    layer_names = list(results[0][0].keys())
-    n_genes = results[0][0][layer_names[0]].shape[0]
+    results = soa_engine.run_owner_pool(counter, bamfiles, multimap,
+                                        cell_batch_size, owners,
+                                        in_process=in_process)
+    layer_names = list(counter.logic.layers)
+    n_genes = len(counter.geneid2ix)
+    col_of, final, global_order = soa_engine.assemble_owner_results(results)
 
     # per-feeder partials scattered into the global frame (non-owned
-    # columns zero), stacked per layer
+    # columns zero), stacked per layer; summed on the mesh or the host
     merged: Dict[str, np.ndarray] = {}
     for layer in layer_names:
-        stack = np.zeros((len(results), n_genes, len(global_order)),
+        stack = np.zeros((len(results), n_genes, len(final)),
                          dtype=np.uint32)
-        for f, (layers, order) in enumerate(results):
-            m = layers[layer]
-            for j, bc in enumerate(order):
-                stack[f, :, col_of[bc]] = m[:, j]
+        for k, key in enumerate(final):
+            w, j = col_of[key]
+            m = results[w][0][layer]
+            if m.shape[1]:
+                stack[w, :, k] = m[:, j]
         if mesh is not None:
             from .counts import merge_feeder_counts
             merged[layer] = np.asarray(merge_feeder_counts(mesh, stack))
         else:
             merged[layer] = stack.sum(axis=0)
     logging.debug(f"count_distributed: {len(results)} feeders, "
-                  f"{len(global_order)} cells")
+                  f"{len(final)} cells")
     return merged, global_order
