@@ -1,7 +1,8 @@
 """k-nearest-neighbor search and balanced-kNN graph construction.
 
 The kNN search is TPU-native: blocked pairwise distances ride the MXU
-(||x-y||^2 = ||x||^2 + ||y||^2 - 2 x.y) followed by ``lax.top_k``.  This
+(||x-y||^2 = ||x||^2 + ||y||^2 - 2 x.y) followed by a blocked stable
+row sort (see _candidate_plan for why not ``lax.top_k``).  This
 replaces the reference's sklearn NearestNeighbors calls
 (reference: velocyto/neighbors.py:226-244,363-376).
 
@@ -43,11 +44,10 @@ def _candidate_block_fn(x: jax.Array, sq: jax.Array, x_p: jax.Array,
     """Returns block_fn(r0) -> (d2 (B, k), idx (B, k)), the k nearest
     candidates for one row block against the full data.
 
-    Small k rides ``lax.top_k``.  Large k (balanced-kNN sight windows,
-    k ~ thousands) makes top_k's O(N*k) selection degenerate, so each
-    row block is fully sorted instead (stable two-key sort, so ties
+    Each row block is fully sorted (stable two-key sort, so ties
     break by index like sklearn) and the first k columns are kept --
-    a vectorized O(N log N) bitonic sort on the VPU.
+    a vectorized O(N log N) bitonic sort on the VPU.  The top_k branch
+    is kept for reference but unused (see _candidate_plan).
     """
     n, d = x.shape
 
@@ -147,11 +147,20 @@ def _exact_rescore_topk(x64: np.ndarray, idx: np.ndarray, k: int
 
 def _candidate_plan(n: int, k: int, block: int) -> Tuple[int, int, bool]:
     """(k2, block, use_sort) for the device candidate pass: a +8 margin
-    absorbs f32 rounding at the k boundary; large k switches from top_k
-    to full row sort; the block shrinks with n to bound the (B, N)
-    distance buffer (~256 MB at f32 incl. sort scratch)."""
+    absorbs f32 rounding at the k boundary; the block shrinks with n to
+    bound the (B, N) distance buffer (~256 MB at f32 incl. sort
+    scratch).
+
+    use_sort is ALWAYS True: the full two-key stable row sort costs
+    O(N log N) on the VPU vs top_k's O(N k), but `lax.top_k` measured a
+    ~470 s compile on the remotely-attached TPU backend and its
+    compiled program is not servable from the persistent cache
+    (non-serializable custom call), while the sort compiles in ~2 s,
+    caches, and executes equally fast at every shape used here.  The
+    stable sort also gives sklearn-identical index tie-breaking for
+    free."""
     k2 = min(n, k + 8)
-    use_sort = k2 > 1024
+    use_sort = True
     if n > 65536:
         block = min(block, 128)
     elif n > 16384:
@@ -174,10 +183,9 @@ def knn_search(data: np.ndarray, k: int, metric: str = "euclidean",
                block: int = 512) -> Tuple[np.ndarray, np.ndarray]:
     """kNN search (self included as the first neighbor).
 
-    Device blocked-matmul candidate pass (f32; `top_k` for moderate k,
-    full row sort for balanced-kNN sight windows where top_k
-    degenerates) + exact f64 host re-score, so ordering matches an
-    exact search (sklearn brute force) including tie-breaks.
+    Device blocked-matmul candidate pass (f32, full stable row sort)
+    + exact f64 host re-score, so ordering matches an exact search
+    (sklearn brute force) including tie-breaks.
     """
     n = data.shape[0]
     k = min(k, n)
@@ -285,8 +293,11 @@ def _knn_query_jit(data: jax.Array, query: jax.Array, k: int,
             - 2.0 * jnp.matmul(rows, data.T,
                                precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.maximum(d2, 0.0)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return -neg, idx
+        # stable sort, not top_k: see _candidate_plan (axon compile)
+        n_data = data.shape[0]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (block, n_data), 1)
+        d2_s, idx_s = jax.lax.sort((d2, ii), num_keys=1, is_stable=True)
+        return d2_s[:, :k], idx_s[:, :k]
 
     d2, idx = jax.lax.map(block_fn, jnp.arange(0, m_pad, block))
     return (jnp.sqrt(d2.reshape(m_pad, k)[:m]),
@@ -412,7 +423,7 @@ class BalancedKNN:
     """sklearn-like estimator for the balanced kNN graph.
 
     API parity with reference velocyto/neighbors.py:186-357, but the
-    initial kNN search runs on TPU (blocked matmul + top_k).
+    initial kNN search runs on TPU (blocked matmul + stable sort).
     """
 
     def __init__(self, k: int = 50, sight_k: int = 100, maxl: int = 200,
