@@ -48,10 +48,19 @@ def main():
 
     t_all = time.perf_counter()
     stages = {}
+    _vlm = {}
 
     def stage(name, fn):
         t0 = time.perf_counter()
         out = fn()
+        # device stages dispatch asynchronously: force execution with an
+        # 8-byte reduction pull per device-backed array so the stage
+        # table attributes time truthfully (jax.block_until_ready is
+        # unreliable through the axon tunnel)
+        import jax.numpy as jnp
+        vlm = _vlm.get("v")
+        for arr in (getattr(vlm, "_dev_state", None) or {}).values():
+            float(jnp.sum(arr))
         dt = time.perf_counter() - t0
         stages[name] = round(dt, 2)
         print(f"# {name}: {dt:.1f}s", flush=True)
@@ -61,6 +70,7 @@ def main():
     S, U = stage("synthesize", lambda: synth(rng, CELLS, GENES))
 
     v = vt.VelocytoLoom.__new__(vt.VelocytoLoom)
+    _vlm["v"] = v
     v.S, v.U, v.A = S, U, np.zeros_like(S)
     v.initial_cell_size = S.sum(0)
     v.initial_Ucell_size = U.sum(0)

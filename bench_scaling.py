@@ -69,5 +69,80 @@ def main() -> None:
         print(json.dumps(rec), flush=True)
 
 
+def analyze_multichip(n_cells: int = 20000, n_genes: int = 2000,
+                      nn: int = 1750, shards_list=(2, 4, 8, 16),
+                      kernel_cells_per_sec: float = 90000.0,
+                      ici_gbps: float = 180.0) -> dict:
+    """Falsifiable multi-chip scaling model for the sampled colDeltaCor
+    (BASELINE.md derived target #3: >=80% efficiency at N>=2 hosts),
+    built from measurable single-chip quantities -- no multi-chip
+    hardware required.
+
+    Replicated layout (col_delta_cor_partial_sharded): zero steady-state
+    collectives (one expression broadcast at setup), per-chip memory
+    N*G*4 bytes; efficiency is bounded only by per-shard work imbalance
+    of the row partition (rows are contiguous, sampled nn identical ->
+    balance is exact up to the last-shard padding).
+
+    Ring layout (col_delta_cor_partial_ring): expression sharded;
+    (P-1) ppermute steps each move an (N/P, G) f32 chunk over ICI while
+    every chip evaluates the sampled pairs whose neighbor lives in the
+    resident chunk.  Per-chip bytes sent = (P-1)/P * N*G*4.  The compute
+    per step is the per-(row, owner-chunk) group table from _ring_plan,
+    padded to the global max group size M -- the padding inflation IS
+    the work imbalance, measured here exactly.
+
+    Efficiency model:  eff(P) = T1 / (P * Tp),
+      Tp = max_shard_padded_work / rate + ring_bytes_per_chip / BW,
+      rate calibrated from the measured single-chip kernel throughput
+      (kernel_cells_per_sec at this G, nn), BW from `ici_gbps` (per-chip
+      ICI bandwidth; ~180 GB/s is a conservative v5e figure -- override
+      to match the deployed slice).
+    """
+    from velocyto_tpu.ops.coldeltacor import _ring_plan
+    rng = np.random.default_rng(1)
+    ixs = np.stack([rng.choice(n_cells, nn, replace=False)
+                    for _ in range(n_cells)]).astype(np.int32)
+
+    pair_work = n_cells * nn                      # sampled pairs total
+    t1 = n_cells / kernel_cells_per_sec           # measured single chip
+    out = {"model": {
+        "N": n_cells, "G": n_genes, "nn": nn,
+        "single_chip_cells_per_sec": kernel_cells_per_sec,
+        "ici_gbps_assumed": ici_gbps,
+    }, "replicated": {}, "ring": {}}
+    for p in shards_list:
+        rows = np.array_split(np.arange(n_cells), p)
+        rep_work = [len(r) * nn for r in rows]
+        out["replicated"][p] = {
+            "collective_bytes_per_chip": 0,
+            "setup_broadcast_bytes": n_cells * n_genes * 4,
+            "work_imbalance": round(max(rep_work) * p / pair_work, 4),
+            "predicted_efficiency": round(
+                pair_work / (max(rep_work) * p), 4),
+            "per_chip_expression_bytes": n_cells * n_genes * 4,
+        }
+
+        chunk = (n_cells + p - 1) // p
+        per_shard_padded = []
+        for r in rows:
+            _local_pad, _inv, m = _ring_plan(ixs[r], p, chunk)
+            per_shard_padded.append(len(r) * p * int(m))
+        ring_bytes = (p - 1) / p * n_cells * n_genes * 4
+        rate = pair_work / t1                     # pairs/s single chip
+        tp = max(per_shard_padded) / rate + ring_bytes / (ici_gbps * 1e9)
+        out["ring"][p] = {
+            "collective_bytes_per_chip": int(ring_bytes),
+            "padding_inflation": round(
+                sum(per_shard_padded) / (pair_work), 4),
+            "max_shard_padded_pairs": max(per_shard_padded),
+            "per_chip_expression_bytes": chunk * n_genes * 4,
+            "predicted_efficiency": round(t1 / (p * tp), 4),
+        }
+    return out
+
+
 if __name__ == "__main__":
     main()
+    print(json.dumps({"multichip_analysis": analyze_multichip()}),
+          flush=True)

@@ -399,10 +399,20 @@ def read_transcriptmodels(gtf_file: str,
     return annotations
 
 
-def read_repeats(gtf_file: str, tolerance: int = 5
+def read_repeats(gtf_file: str, tolerance: int = 5,
+                 keep_last_chromstrand: bool = False
                  ) -> Dict[str, List[Feature]]:
     """Parse a repeat-mask GTF, merging intervals closer than `tolerance`
-    (reference counter.py:308-420)."""
+    (reference counter.py:308-420).
+
+    keep_last_chromstrand: the reference only stores a chromstrand's
+    interval list on chromstrand CHANGE, so the final block of the
+    sorted file (lexicographically last chromosome, e.g. chrX/chrY) is
+    silently dropped, as is the still-open trailing interval; the open
+    interval also leaks across chromstrand boundaries.  The default
+    replicates all of that bit-for-bit (it is observable in the counts);
+    pass True to repair the dropped final block.
+    """
     mask_ivls_by_chromstrand: Dict[str, List[Feature]] = defaultdict(list)
     gtf_lines = [line for line in open(gtf_file) if not line.startswith("#")]
     gtf_lines = sorted(gtf_lines, key=_sorting_key)
@@ -441,13 +451,8 @@ def read_repeats(gtf_file: str, tolerance: int = 5
         else:
             curr_end = end
             curr_n += 1
-    # Deviation from the reference (documented): the reference never assigns
-    # the final chromstrand's list to the dict (counter.py:371-411 only
-    # assigns on chromstrand *change*), losing the last chromosome's mask
-    # entirely; we keep it.  Like the reference, the still-open trailing
-    # interval is not closed, and the previous chromstrand's open interval
-    # leaks into the next list (counter.py:383-399 does not reset curr_*).
-    mask_ivls_by_chromstrand[curr_chromstrand] = repeat_ivls_list
+    if keep_last_chromstrand:
+        mask_ivls_by_chromstrand[curr_chromstrand] = repeat_ivls_list
 
     n = 0
     for _chromstrand, feature_list in mask_ivls_by_chromstrand.items():

@@ -52,11 +52,12 @@ def velocity_step(S_sz: jax.Array, U_sz: jax.Array,
     """
     g, n = S_sz.shape
 
-    # --- kNN smoothing (gather + weighted sum over neighbor cells) -----
+    # --- kNN smoothing (scatter-to-dense + MXU matmul; one kernel with
+    #     ops.knn_device._smooth_rows_impl) ------------------------------
+    from ..ops.knn_device import _smooth_rows_impl
+
     def smooth(M):
-        rows = M.T[nbr_idx]                       # (N, K, G)
-        return jnp.einsum("nkg,nk->ng", rows, nbr_w,
-                          precision=jax.lax.Precision.HIGHEST).T  # (G, N)
+        return _smooth_rows_impl(M.T, nbr_idx, nbr_w).T    # (G, N)
 
     Sx = smooth(S_sz)
     Ux = smooth(U_sz)
@@ -64,8 +65,8 @@ def velocity_step(S_sz: jax.Array, U_sz: jax.Array,
     # --- steady-state gamma fit (maxmin extreme-quantile weights, with
     #     offset; the exact box-QP solver shared with ops.gamma /
     #     VelocytoLoom.fit_gammas(weights="maxmin", fit_offset=True)) ----
-    down = jnp.percentile(Sx, 2.0, axis=1)
-    up = jnp.percentile(Sx, 98.0, axis=1)
+    from ..ops.gamma import _row_percentiles
+    down, up = _row_percentiles(Sx, (2.0, 98.0))
     W = ((Sx <= down[:, None]) | (Sx >= up[:, None])).astype(jnp.float32)
 
     gammas, q = jax.vmap(lambda y, x, w: _slope_weighted_offset_row(

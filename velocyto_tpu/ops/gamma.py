@@ -25,11 +25,6 @@ import numpy as np
 # helpers
 # ---------------------------------------------------------------------------
 
-def _percentile(v, q):
-    """np.percentile (linear interpolation) along the last axis."""
-    return jnp.percentile(v, q, axis=-1)
-
-
 def _masked_percentile(v, mask, q):
     """np.percentile over v[mask] for a single row."""
     big = jnp.where(mask, v, jnp.inf)

@@ -43,29 +43,15 @@ def csr_to_compact(w: sparse.spmatrix) -> Tuple[np.ndarray, np.ndarray]:
     return idx, wgt
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
 def _convolve_compact_impl(data_rows: jax.Array, nbr_idx: jax.Array,
-                           nbr_w: jax.Array, block: int = 32) -> jax.Array:
+                           nbr_w: jax.Array, block: int = 2048) -> jax.Array:
     """out[i] = sum_k w[i,k] * data_rows[idx[i,k]].
 
     data_rows: (N, G); nbr_idx/nbr_w: (N, K).  Returns (N, G).
-    Scratch is bounded to (block, K, G).
-    """
-    n, g = data_rows.shape
-    kk = nbr_idx.shape[1]
-    n_pad = ((n + block - 1) // block) * block
-    idx_p = jnp.pad(nbr_idx, ((0, n_pad - n), (0, 0)))
-    w_p = jnp.pad(nbr_w, ((0, n_pad - n), (0, 0)))
-
-    def block_fn(r0):
-        idx_b = jax.lax.dynamic_slice(idx_p, (r0, 0), (block, kk))
-        w_b = jax.lax.dynamic_slice(w_p, (r0, 0), (block, kk))
-        rows = data_rows[idx_b]                     # (B, K, G)
-        return jnp.einsum("bkg,bk->bg", rows, w_b,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    out = jax.lax.map(block_fn, jnp.arange(0, n_pad, block))
-    return out.reshape(n_pad, g)[:n]
+    One kernel shared with ops.knn_device (blocked scatter-to-dense +
+    MXU matmul -- see _smooth_rows_impl there for the rationale)."""
+    from .knn_device import _smooth_rows_impl
+    return _smooth_rows_impl(data_rows, nbr_idx, nbr_w, block=block)
 
 
 @jax.jit
