@@ -1519,47 +1519,57 @@ class VelocytoLoom:
                               steps: Tuple = (40, 40),
                               n_neighbors: int = 100,
                               n_jobs: int = 4) -> None:
-        """Gaussian-kernel grid vector field (reference :1735-1816)."""
-        embedding = getattr(self, embed)
-        if hasattr(self, f"delta_{embed}"):
-            delta_embedding = getattr(self, f"delta_{embed}")
-            if self._has_rndm_state():
-                delta_embedding_random = getattr(self, f"delta_{embed}_random")
-        else:
+        """Gaussian-kernel grid vector field (reference :1735-1816).
+
+        A regular grid is laid over the embedding (each axis padded by
+        2.5% of its span -- the second pad intentionally uses the
+        already-padded lower bound, like the reference); each grid
+        point kernel-averages the velocity shift of its n_neighbors
+        nearest cells with a gaussian of width smooth * grid spacing.
+        """
+        emb = getattr(self, embed)
+        try:
+            shift = getattr(self, f"delta_{embed}")
+        except AttributeError:
             raise KeyError("This embedding does not have a delta_*")
-        grs = []
-        for dim_i in range(embedding.shape[1]):
-            m, M = np.min(embedding[:, dim_i]), np.max(embedding[:, dim_i])
-            m = m - 0.025 * np.abs(M - m)
-            M = M + 0.025 * np.abs(M - m)
-            grs.append(np.linspace(m, M, steps[dim_i]))
-        meshes_tuple = np.meshgrid(*grs)
-        gridpoints_coordinates = np.vstack([i.flat for i in meshes_tuple]).T
 
-        dists, neighs = knn_query(embedding, gridpoints_coordinates,
-                                  min(n_neighbors, embedding.shape[0]))
-        std = np.mean([(g[1] - g[0]) for g in grs])
-        gaussian_w = normal.pdf(loc=0, scale=smooth * std, x=dists)
-        self.total_p_mass = gaussian_w.sum(1)
+        def padded_axis(vals, n):
+            lo, hi = float(vals.min()), float(vals.max())
+            lo -= 0.025 * abs(hi - lo)
+            hi += 0.025 * abs(hi - lo)
+            return np.linspace(lo, hi, n)
 
-        UZ = (delta_embedding[neighs] * gaussian_w[:, :, None]).sum(1) / \
-            np.maximum(1, self.total_p_mass)[:, None]
-        magnitude = np.linalg.norm(UZ, axis=1)
-        self.flow_embedding = embedding
-        self.flow_grid = gridpoints_coordinates
-        self.flow = UZ
-        self.flow_norm = UZ / np.percentile(magnitude, 99.5)
+        axes = [padded_axis(emb[:, d], steps[d])
+                for d in range(emb.shape[1])]
+        grid = np.stack([a.ravel() for a in np.meshgrid(*axes)], axis=1)
+
+        dists, neigh = knn_query(emb, grid, min(n_neighbors, emb.shape[0]))
+        kernel_sd = smooth * np.mean([a[1] - a[0] for a in axes])
+        w = normal.pdf(x=dists, loc=0, scale=kernel_sd)
+        self.total_p_mass = w.sum(1)
+        denom = np.maximum(1, self.total_p_mass)[:, None]
+
+        def kernel_average(field):
+            return np.einsum("gk,gkd->gd", w, field[neigh]) / denom
+
+        flow = kernel_average(shift)
+        self.flow_embedding = emb
+        self.flow_grid = grid
+        self.flow = flow
+        # scale shared with the randomized control: both normalize by
+        # the 99.5th-percentile magnitude of the MAIN field (reference
+        # :1800-1807 computes magnitude_rndm from UZ, not UZ_rndm)
+        scale = np.percentile(np.linalg.norm(flow, axis=1), 99.5)
+        self.flow_norm = flow / scale
         self.flow_norm_magnitude = np.linalg.norm(self.flow_norm, axis=1)
 
         if self._has_rndm_state():
-            UZ_rndm = (delta_embedding_random[neighs] *
-                       gaussian_w[:, :, None]).sum(1) / \
-                np.maximum(1, self.total_p_mass)[:, None]
-            magnitude_rndm = np.linalg.norm(UZ, axis=1)
-            self.flow_rndm = UZ_rndm
-            self.flow_norm_rndm = UZ_rndm / np.percentile(magnitude_rndm, 99.5)
-            self.flow_norm_magnitude_rndm = np.linalg.norm(self.flow_norm_rndm,
-                                                           axis=1)
+            flow_rndm = kernel_average(
+                getattr(self, f"delta_{embed}_random"))
+            self.flow_rndm = flow_rndm
+            self.flow_norm_rndm = flow_rndm / scale
+            self.flow_norm_magnitude_rndm = np.linalg.norm(
+                self.flow_norm_rndm, axis=1)
 
     # ------------------------------------------------------------------
     # markov diffusion (reference :1818-1887)
@@ -1571,25 +1581,24 @@ class VelocytoLoom:
         """Build the Markov transition matrix (reference :1818-1863)."""
         if cells_ixs is None:
             cells_ixs = np.arange(self.transition_prob.shape[0])
-        if direction == "forward":
-            self.tr = np.array(self.transition_prob[cells_ixs, :][:, cells_ixs])
-        elif direction == "backwards":
-            self.tr = np.array(
-                (self.transition_prob[cells_ixs, :][:, cells_ixs]).T,
-                order="C")
-        else:
+        if direction not in ("forward", "backwards"):
             raise NotImplementedError(
                 f"{direction} is not an implemented direction")
-        dist_matrix = squareform(pdist(self.embedding[cells_ixs, :]))
-        K_D = gaussian_kernel(dist_matrix, sigma=sigma_D)
-        self.tr = self.tr * K_D
-        np.fill_diagonal(self.tr, self.tr.max(1))
-        self.tr = self.tr / self.tr.sum(1)[:, None]
-        K_W = gaussian_kernel(dist_matrix, sigma=sigma_W)
-        K_W = K_W / K_W.sum(1)[:, None]
-        self.tr = 0.8 * self.tr + 0.2 * K_W
-        self.tr = self.tr / self.tr.sum(1)[:, None]
-        self.tr = sparse.csr_matrix(self.tr)
+
+        def row_stochastic(m):
+            return m / m.sum(1)[:, None]
+
+        p = self.transition_prob[np.ix_(cells_ixs, cells_ixs)]
+        if direction == "backwards":
+            p = np.ascontiguousarray(p.T)
+        pair_d = squareform(pdist(self.embedding[cells_ixs, :]))
+        # locality-limited velocities, self-transition pinned to the row
+        # max, then blended 80/20 with a pure diffusion-noise kernel
+        local = p * gaussian_kernel(pair_d, sigma=sigma_D)
+        np.fill_diagonal(local, local.max(1))
+        noise = row_stochastic(gaussian_kernel(pair_d, sigma=sigma_W))
+        blend = 0.8 * row_stochastic(local) + 0.2 * noise
+        self.tr = sparse.csr_matrix(row_stochastic(blend))
 
     def run_markov(self, starting_p: Optional[np.ndarray] = None,
                    n_steps: int = 2500,
