@@ -209,6 +209,68 @@ def decode_only(bam, cs) -> float:
     return time.perf_counter() - t0
 
 
+def feeder_scaling(gtf, bam, cs, bcs, counts=(1, 2, 4)) -> dict:
+    """Counting-pass reads/s at 1/2/4 feeder processes via the unified
+    owner-pool mechanism (GTF parse + markup once, spawned workers).
+    Only the COUNT pass is timed -- the prepared counter is shared."""
+    from velocyto_tpu.parallel.feeders import (prepare_counter,
+                                               feeder_byte_ranges)
+    from velocyto_tpu.counting import soa_engine
+    import numpy as np
+
+    counter = prepare_counter([cs], gtf, valid_bcs=sorted(bcs),
+                              markup_bamfiles=[bam])
+    sorted_bcs = sorted(bcs)
+    out = {}
+    base = None
+    for n in counts:
+        splits = np.array_split(np.arange(len(sorted_bcs)), n)
+        owners = [frozenset(sorted_bcs[i] for i in r) for r in splits]
+        plan = feeder_byte_ranges(cs, owners)
+        byte_ranges = plan[0] if plan else None
+        t0 = time.perf_counter()
+        results = soa_engine.run_owner_pool(counter, [cs], False, 100,
+                                            owners, in_process=(n == 1),
+                                            byte_ranges=byte_ranges)
+        wall = time.perf_counter() - t0
+        total = sum(int(m.sum()) for mats, *_ in results
+                    for m in mats.values())
+        # steady-state throughput: slowest worker's own count-pass time
+        # (each worker reports it) -- spawn/import/unpickle startup is a
+        # per-deployment constant, not per-BAM work
+        work = max(r[5] for r in results)
+        rps = N_READS / work
+        if base is None:
+            base = rps
+        out[n] = {"reads_per_sec": round(rps, 1),
+                  "speedup_vs_1": round(rps / base, 2),
+                  "wall_incl_startup_s": round(wall, 2),
+                  "molecules": total}
+        print(f"# feeders={n}: work={work:.2f}s wall={wall:.2f}s "
+              f"{rps:,.0f} reads/s (x{rps/base:.2f})", file=sys.stderr)
+
+    # contention-free per-feeder work: ONE worker counting ONE 1/n slice
+    # (what each host of an n-host deployment actually does)
+    for n in counts:
+        if n == 1:
+            continue
+        splits = np.array_split(np.arange(len(sorted_bcs)), n)
+        owners = [frozenset(sorted_bcs[i] for i in r) for r in splits]
+        plan = feeder_byte_ranges(cs, owners)
+        if plan is None:
+            break
+        t0 = time.perf_counter()
+        soa_engine.run_owner_pool(counter, [cs], False, 100, [owners[0]],
+                                  in_process=True,
+                                  byte_ranges=[plan[0][0]])
+        solo = time.perf_counter() - t0
+        out[n]["solo_slice_seconds"] = round(solo, 2)
+        print(f"# solo 1/{n} slice: {solo:.2f}s "
+              f"(serial/{n} = {out[1]['wall_incl_startup_s']/n:.2f}s ideal)",
+              file=sys.stderr)
+    return out
+
+
 def main():
     work = os.environ.get("VTPU_BENCH_DIR",
                           os.path.join("/tmp", "vtpu_bench_counting"))
@@ -218,6 +280,12 @@ def main():
     print(f"# fixture ready in {time.perf_counter()-t0:.1f}s "
           f"({N_READS} reads, {N_CELLS} cells)", file=sys.stderr)
     bcs = _load_bcs(bcf)
+
+    if os.environ.get("VTPU_BENCH_FEEDERS"):
+        print(json.dumps({"metric": "feeder_scaling_reads_per_sec",
+                          "unit": f"reads/s ({N_READS} reads, count pass)",
+                          "feeders": feeder_scaling(gtf, bam, cs, bcs)}))
+        return
 
     ours = run_ours(gtf, bam, cs, bcs)
     ref = run_reference(gtf, bam, cs, bcs)

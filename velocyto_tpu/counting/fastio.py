@@ -161,7 +161,11 @@ class NativeBamReader:
 
     def __init__(self, path: str, bc_tag: str, umi_tag: str,
                  require_unique: bool, aux_tag: str = "",
-                 seq_prefix: int = 0) -> None:
+                 seq_prefix: int = 0, byte_range=None) -> None:
+        """byte_range: optional (ustart, uend) UNCOMPRESSED stream
+        offsets (record boundaries from the .vtx cell index) -- the
+        reader seeks to ustart and reports EOF at uend, so a feeder
+        decodes only its owned slice of the BAM."""
         lib = native._load()
         if lib is None:
             raise RuntimeError("libvtpu not available")
@@ -169,6 +173,12 @@ class NativeBamReader:
         self._h = lib.vtpu_bam_open(path.encode())
         if not self._h:
             raise IOError(f"cannot open BAM file {path}")
+        if byte_range is not None:
+            ustart, uend = byte_range
+            if lib.vtpu_bam_seek_uncompressed(self._h, int(ustart)) != 0:
+                raise IOError(
+                    f"cannot seek to offset {ustart} in {path}")
+            lib.vtpu_bam_set_limit(self._h, int(uend))
         n = lib.vtpu_bam_n_refs(self._h)
         self.references = [lib.vtpu_bam_ref_name(self._h, i).decode()
                            for i in range(n)]
@@ -360,17 +370,20 @@ class PythonBamReader:
 
 def open_soa_reader(path: str, bc_tag: str, umi_tag: str,
                     require_unique: bool, aux_tag: str = "",
-                    seq_prefix: int = 0):
+                    seq_prefix: int = 0, byte_range=None):
     """Native SoA reader when libvtpu is available, else the Python one.
     The native reader is wrapped in PrefetchReader (decode/compute
-    overlap); set VELOCYTO_NO_PREFETCH=1 to disable."""
+    overlap); set VELOCYTO_NO_PREFETCH=1 to disable.  byte_range (native
+    only): decode just the (ustart, uend) uncompressed slice."""
     import os
     if native.available():
         r = NativeBamReader(path, bc_tag, umi_tag, require_unique,
-                            aux_tag, seq_prefix)
+                            aux_tag, seq_prefix, byte_range=byte_range)
         if os.environ.get("VELOCYTO_NO_PREFETCH", "") not in ("", "0"):
             return r
         return PrefetchReader(r)
+    if byte_range is not None:
+        raise RuntimeError("byte_range decoding needs libvtpu")
     return PythonBamReader(path, bc_tag, umi_tag, require_unique, aux_tag,
                            seq_prefix)
 

@@ -77,29 +77,37 @@ def _init_pool_worker(counter_bytes: bytes) -> None:
 
 
 def _pool_count_owner(bamfiles: List[str], multimap: bool,
-                      cell_batch_size: int, owner_spec, track_global: bool):
+                      cell_batch_size: int, owner_spec, track_global: bool,
+                      byte_ranges=None):
     """Counting worker: runs the serial counting pass over the cells this
     worker owns -- `owner_spec` is either a (wid, nproc) stable-hash
     partition or an explicit frozenset of barcodes (multi-host barcode
-    ranges) -- against the initializer-built engine.  Returns
+    ranges) -- against the initializer-built engine.  With byte_ranges
+    the worker decodes only its own .vtx-indexed BAM slice.  Returns
     concatenated per-layer matrices + column order + per-file marks
-    (+ the global first-encounter cell order when track_global)."""
+    (+ the global first-encounter cell order when track_global) + its
+    own count-pass wall time."""
+    import time
     eng = _POOL_ENGINE
+    t0 = time.perf_counter()
     dla, order, marks, glob = eng._count_impl(
         bamfiles, multimap, cell_batch_size, owner=owner_spec,
         track_global=track_global,
-        batch_reads=1 << 16)   # small decode batches: fresh processes pay
+        batch_reads=1 << 16,   # small decode batches: fresh processes pay
                                # first-touch faults per page
+        byte_ranges=byte_ranges)
+    elapsed = time.perf_counter() - t0
     n_genes = len(eng.c.geneid2ix)
     mats = {layer: (np.concatenate(arrs, axis=1) if arrs else
                     np.zeros((n_genes, 0), dtype=eng.c.loom_numeric_dtype))
             for layer, arrs in dla.items()}
-    return mats, order, marks, glob, eng.skipped_no_barcode
+    return mats, order, marks, glob, eng.skipped_no_barcode, elapsed
 
 
 def run_owner_pool(counter, bamfiles: List[str], multimap: bool,
                    cell_batch_size: int, owners: List,
-                   in_process: bool = False) -> List:
+                   in_process: bool = False,
+                   byte_ranges: Optional[List] = None) -> List:
     """THE parallel-counting mechanism: one worker per ownership spec,
     every worker rebuilt from ONE pickled prepared (GTF-parsed +
     marked-up) counter -- annotation parsing and the intron-validation
@@ -119,12 +127,22 @@ def run_owner_pool(counter, bamfiles: List[str], multimap: bool,
     finally:
         if soa is not None:
             counter._soa = soa
+    # with byte ranges every worker tracks its own slice's encounter
+    # order (the caller reassembles the global order from the index);
+    # otherwise worker 0 scans everything and records it
+    def tg(w):
+        return True if byte_ranges is not None else w == 0
+
+    def br(w):
+        return byte_ranges[w] if byte_ranges is not None else None
+
     if in_process or len(owners) == 1:
         results = []
         for w, spec in enumerate(owners):
             _init_pool_worker(payload)
             results.append(_pool_count_owner(bamfiles, multimap,
-                                             cell_batch_size, spec, w == 0))
+                                             cell_batch_size, spec, tg(w),
+                                             br(w)))
         return results
     import concurrent.futures as cf
     import multiprocessing as mp
@@ -133,24 +151,38 @@ def run_owner_pool(counter, bamfiles: List[str], multimap: bool,
                                 initializer=_init_pool_worker,
                                 initargs=(payload,)) as pool:
         futs = [pool.submit(_pool_count_owner, bamfiles, multimap,
-                            cell_batch_size, spec, w == 0)
+                            cell_batch_size, spec, tg(w), br(w))
                 for w, spec in enumerate(owners)]
         return [f.result() for f in futs]
 
 
-def assemble_owner_results(results: List) -> Tuple:
+def assemble_owner_results(results: List,
+                           name_order: Optional[List[str]] = None) -> Tuple:
     """Map each worker column to its global position in the serial
     first-encounter order.  Returns (col_of {(file_idx, name): (worker,
-    col)}, final ordered keys, cell name order)."""
+    col)}, final ordered keys, cell name order).
+
+    name_order: explicit serial cell order (from the .vtx index) for
+    ranged single-file runs, where no worker scanned the whole file;
+    otherwise worker 0's tracked global order is used."""
     col_of: Dict[Tuple[int, str], Tuple[int, int]] = {}
-    for w, (mats, order, marks, _glob, _skipped) in enumerate(results):
+    for w, (mats, order, marks, _glob, _skipped, *_t) in enumerate(results):
         fi = 0
         for j, name in enumerate(order):
             while fi < len(marks) and j >= marks[fi]:
                 fi += 1
             col_of[(fi, name)] = (w, j)
-    global_order = results[0][3]
-    final = [key for key in global_order if key in col_of]
+    if name_order is not None:
+        seen = set()
+        final = []
+        for n in name_order:
+            key = (0, n)
+            if key in col_of and key not in seen:
+                seen.add(key)
+                final.append(key)
+    else:
+        global_order = results[0][3]
+        final = [key for key in global_order if key in col_of]
     return col_of, final, [name for (_fi, name) in final]
 
 
@@ -320,18 +352,23 @@ class SoaEngine:
 
     def _count_impl(self, bamfiles: Iterable[str], multimap: bool,
                     cell_batch_size: int = 100,
-                    owner: Optional[Tuple[int, int]] = None,
+                    owner=None,
                     track_global: bool = False,
-                    batch_reads: int = 1 << 18):
+                    batch_reads: int = 1 << 18,
+                    byte_ranges=None):
         """Serial counting pass.
 
-        owner=(wid, nproc): process only cells whose stable hash maps to
-        this worker (pcount partitioning) - per-cell results are
-        identical to the unpartitioned run because molecule assembly and
-        the <80-molecule filter are per-cell.
+        owner: process only owned cells -- either (wid, nproc) stable
+        hash (pcount partitioning) or an explicit set of barcodes
+        (multi-host ranges).  Per-cell results are identical to the
+        unpartitioned run because molecule assembly and the <80-molecule
+        filter are per-cell.
         track_global: also record the first-encounter order of ALL kept
         cells (pre-ownership), tagged (file_idx, name), so a pcount
         parent can restore the serial column order.
+        byte_ranges: optional per-bamfile (ustart, uend) uncompressed
+        offsets from a .vtx cell index -- the reader decodes only that
+        slice, so feeders skip the decode of non-owned cells entirely.
 
         Returns (dict_list_arrays, cell_bcs_order, file_marks,
         global_order) where file_marks[i] = len(cell_bcs_order) after
@@ -384,11 +421,17 @@ class SoaEngine:
 
         for fi, bamfile in enumerate(bamfiles):
             label = os.path.basename(bamfile) if use_basename else str(bamfile)
+            byte_range = byte_ranges[fi] if byte_ranges else None
+            if byte_range is not None and \
+                    byte_range[0] >= byte_range[1]:
+                file_marks.append(len(cell_bcs_order))
+                continue                       # feeder owns nothing here
             reader = open_soa_reader(
                 str(bamfile), c.cellbarcode_str, c.umibarcode_str,
                 not multimap,
                 aux_tag="GX" if c.umi_extension == "Gene" else "",
-                seq_prefix=(c.umi_bp if c.umi_extension == "Nbp" else 0))
+                seq_prefix=(c.umi_bp if c.umi_extension == "Nbp" else 0),
+                byte_range=byte_range)
             gmap = self._global_chrom_map(reader.references)
             while True:
                 rb = reader.read_batch(batch_reads)

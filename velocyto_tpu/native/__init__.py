@@ -102,6 +102,15 @@ def _configure(lib) -> None:
         c_int64,                        # mem_limit bytes
         c_int32, c_int32,               # n_threads, compression level
     ]
+    lib.vtpu_bam_sort_by_tag_indexed.restype = c_int64
+    lib.vtpu_bam_sort_by_tag_indexed.argtypes = [
+        c_char_p, c_char_p, c_char_p, c_int64, c_int32, c_int32,
+        c_char_p,                       # .vtx cell-index path (or None)
+    ]
+    lib.vtpu_bam_seek_uncompressed.restype = ctypes.c_int
+    lib.vtpu_bam_seek_uncompressed.argtypes = [c_void_p, ctypes.c_uint64]
+    lib.vtpu_bam_set_limit.restype = None
+    lib.vtpu_bam_set_limit.argtypes = [c_void_p, ctypes.c_uint64]
     lib.vtpu_factorize_fixed.restype = c_int64
     lib.vtpu_factorize_fixed.argtypes = [
         c_char_p,                       # keys (n * width bytes)
@@ -124,21 +133,55 @@ def available() -> bool:
 
 def bam_sort_by_tag(src: str, dst: str, tag: str,
                     mem_limit: int = 4 << 30, n_threads: int = 0,
-                    level: int = 1) -> int:
+                    level: int = 1, write_index: bool = True) -> int:
     """Sort a BAM by an aux tag (the `samtools sort -t CB` equivalent).
     External sort with spill runs above mem_limit bytes; BGZF output is
-    compressed by a thread pool.  Returns the number of records."""
+    compressed by a thread pool.  Returns the number of records.
+
+    write_index=True also emits `dst + ".vtx"`: the per-cell
+    uncompressed-offset index that lets multi-feeder counting seek each
+    feeder straight to its barcode range (see read_tag_index)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("libvtpu not available")
     if n_threads <= 0:
         n_threads = max(1, (os.cpu_count() or 2) - 1)
-    n = lib.vtpu_bam_sort_by_tag(src.encode(), dst.encode(),
-                                 tag.encode()[:2], mem_limit, n_threads,
-                                 level)
+    ix = (dst + ".vtx").encode() if write_index else None
+    n = lib.vtpu_bam_sort_by_tag_indexed(src.encode(), dst.encode(),
+                                         tag.encode()[:2], mem_limit,
+                                         n_threads, level, ix)
     if n < 0:
         raise IOError(f"native BAM sort failed for {src}")
     return int(n)
+
+
+def read_tag_index(path: str):
+    """Parse a `.vtx` cell index: returns (keys list[bytes], offsets
+    np.uint64 (n+1,)) where offsets[i] is the uncompressed stream offset
+    of the first record with tag value keys[i] and offsets[-1] is the
+    end-of-records offset.  Returns None if absent/invalid."""
+    import struct
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    if len(data) < 4 or data[:4] != b"VTX1":
+        return None
+    keys, offs = [], []
+    p = 4
+    while p + 12 <= len(data):
+        klen, off = struct.unpack_from("<IQ", data, p)
+        p += 12
+        if klen == 0xFFFFFFFF:          # terminal entry
+            offs.append(off)
+            return keys, np.asarray(offs, dtype=np.uint64)
+        if p + klen > len(data):
+            return None
+        keys.append(data[p:p + klen])
+        p += klen
+        offs.append(off)
+    return None                          # missing terminal entry
 
 
 def factorize_fixed(arr: np.ndarray

@@ -96,6 +96,11 @@ struct BamHandle {
     bool perr = false;              // pipeline hard error
     bool stop = false;
     std::vector<std::thread> workers;
+    // ranged decode (multi-feeder counting): position in the UNCOMPRESSED
+    // record stream, and an exclusive stop offset (a record boundary
+    // from the .vtx cell index)
+    uint64_t u_consumed = 0;
+    uint64_t u_limit = UINT64_MAX;
 };
 
 static const uint64_t BGZF_WINDOW = 64;   // max in-flight blocks (<= 4 MiB)
@@ -244,6 +249,7 @@ static bool take(BamHandle* h, void* dst, size_t n) {
     if (h->buf.size() - h->buf_pos < n) return false;
     memcpy(dst, h->buf.data() + h->buf_pos, n);
     h->buf_pos += n;
+    h->u_consumed += n;
     return true;
 }
 
@@ -283,6 +289,71 @@ void vtpu_bam_close(void* vh) {
     stop_pipeline(h);
     if (h->fp) fclose(h->fp);
     delete h;
+}
+
+// Reposition the decode stream to an UNCOMPRESSED offset (from the .vtx
+// cell index -- always a record boundary).  Walks BGZF block headers
+// (no inflate) to the covering block, restarts the inflate pipeline
+// there, and drops the in-block prefix.  Returns 0 on success.
+int vtpu_bam_seek_uncompressed(void* vh, uint64_t ustart) {
+    BamHandle* h = (BamHandle*)vh;
+    stop_pipeline(h);
+    {
+        std::lock_guard<std::mutex> lk(h->mu);
+        h->ready.clear();
+        h->seq_read = h->seq_out = 0;
+        h->file_eof = h->perr = h->stop = false;
+        h->buf.clear();
+        h->buf_pos = 0;
+    }
+    if (fseek(h->fp, 0, SEEK_SET) != 0) return -1;
+    uint64_t u_total = 0;
+    long coff = 0;
+    for (;;) {
+        uint8_t hdr[18];
+        if (fread(hdr, 1, 18, h->fp) != 18) break;            // EOF
+        if (hdr[0] != 0x1f || hdr[1] != 0x8b) return -1;
+        const uint16_t xlen = hdr[10] | (hdr[11] << 8);
+        std::vector<uint8_t> extra(xlen);
+        memcpy(extra.data(), hdr + 12, xlen < 6 ? xlen : 6);
+        if (xlen > 6 && fread(extra.data() + 6, 1, xlen - 6, h->fp)
+                != (size_t)(xlen - 6))
+            return -1;
+        int bsize = -1;
+        for (size_t p = 0; p + 4 <= extra.size();) {
+            const uint8_t si1 = extra[p], si2 = extra[p + 1];
+            const uint16_t slen = extra[p + 2] | (extra[p + 3] << 8);
+            if (si1 == 'B' && si2 == 'C' && slen == 2)
+                bsize = (extra[p + 4] | (extra[p + 5] << 8)) + 1;
+            p += 4 + slen;
+        }
+        if (bsize < 0) return -1;
+        uint32_t isize;
+        if (fseek(h->fp, coff + bsize - 4, SEEK_SET) != 0) return -1;
+        if (fread(&isize, 4, 1, h->fp) != 1) return -1;
+        if (u_total + isize > ustart) {
+            if (fseek(h->fp, coff, SEEK_SET) != 0) return -1;
+            break;
+        }
+        u_total += isize;
+        coff += bsize;
+        if (fseek(h->fp, coff, SEEK_SET) != 0) return -1;
+    }
+    h->u_consumed = u_total;
+    start_pipeline(h);
+    // drop the in-block prefix up to the exact record boundary
+    uint64_t drop = ustart - u_total;
+    std::vector<uint8_t> scratch(1 << 16);
+    while (drop > 0) {
+        size_t n = drop < scratch.size() ? (size_t)drop : scratch.size();
+        if (!take(h, scratch.data(), n)) return -1;
+        drop -= n;
+    }
+    return 0;
+}
+
+void vtpu_bam_set_limit(void* vh, uint64_t uend) {
+    ((BamHandle*)vh)->u_limit = uend;
 }
 
 int64_t vtpu_bam_n_refs(void* vh) { return ((BamHandle*)vh)->refs.size(); }
@@ -355,6 +426,7 @@ int64_t vtpu_bam_read_batch(void* vh, int64_t max_reads, int64_t max_segs,
     int64_t count = 0;
     std::vector<uint8_t> rec;
     while (count < max_reads) {
+        if (h->u_consumed >= h->u_limit) break;   // end of owned range
         int32_t block_size;
         if (!fill(h, 4)) return -1;
         if (h->buf.size() - h->buf_pos < 4) break;  // EOF
@@ -652,6 +724,7 @@ struct BgzfWriter {
     int level;
     int n_threads;
     std::vector<uint8_t> pending;           // uncompressed payload buffer
+    uint64_t total_in = 0;                  // uncompressed bytes written
 
     BgzfWriter(FILE* f, int lvl, int threads)
         : fp(f), level(lvl), n_threads(threads < 1 ? 1 : threads) {}
@@ -723,6 +796,7 @@ struct BgzfWriter {
 
     void write(const uint8_t* p, size_t n) {
         pending.insert(pending.end(), p, p + n);
+        total_in += n;
         if (pending.size() >= (size_t)60000 * n_threads * 4)
             flush_blocks(false);
     }
@@ -778,9 +852,16 @@ extern "C" {
 
 // Sort a BAM by the given aux tag (stable within equal keys; reads with
 // no tag sort first).  Returns number of records, or -1 on error.
-int64_t vtpu_bam_sort_by_tag(const char* src, const char* dst,
-                             const char* tag, int64_t mem_limit,
-                             int32_t n_threads, int32_t level) {
+// When index_path is non-null, a ".vtx" cell index is written alongside:
+// one entry per tag-value CHANGE in the output stream, mapping the tag
+// value to the UNCOMPRESSED stream offset of its first record (a record
+// boundary), plus a terminal entry (keylen 0) at end-of-records.  The
+// index lets multi-feeder counting seek each feeder straight to its
+// barcode range (vtpu_bam_seek_uncompressed / vtpu_bam_set_limit).
+int64_t vtpu_bam_sort_by_tag_indexed(const char* src, const char* dst,
+                                     const char* tag, int64_t mem_limit,
+                                     int32_t n_threads, int32_t level,
+                                     const char* index_path) {
     BamHandle* h = (BamHandle*)vtpu_bam_open(src);
     if (!h) return -1;
     // re-encode the header (magic, text, refs)
@@ -872,6 +953,26 @@ int64_t vtpu_bam_sort_by_tag(const char* src, const char* dst,
     BgzfWriter w(out, level, n_threads);
     w.write(header.data(), header.size());
 
+    FILE* ixf = nullptr;
+    if (index_path) {
+        ixf = fopen(index_path, "wb");
+        if (ixf) fwrite("VTX1", 1, 4, ixf);
+    }
+    std::string ix_prev;
+    bool ix_any = false;
+    auto ix_entry = [&](const char* k, uint32_t klen) {
+        if (!ixf) return;
+        if (ix_any && ix_prev.size() == klen &&
+            memcmp(ix_prev.data(), k, klen) == 0)
+            return;
+        const uint64_t off = w.total_in;
+        fwrite(&klen, 4, 1, ixf);
+        fwrite(&off, 8, 1, ixf);
+        fwrite(k, 1, klen, ixf);
+        ix_prev.assign(k, klen);
+        ix_any = true;
+    };
+
     if (run_files.empty()) {
         // single in-memory run
         std::stable_sort(recs.begin(), recs.end(),
@@ -882,6 +983,7 @@ int64_t vtpu_bam_sort_by_tag(const char* src, const char* dst,
             return a.key_len < b.key_len;
         });
         for (const Rec& r : recs) {
+            ix_entry(keys.data() + r.key_off, r.key_len);
             int32_t bs = r.blob_len;
             w.write((uint8_t*)&bs, 4);
             w.write(arena.data() + r.blob_off, r.blob_len);
@@ -906,6 +1008,7 @@ int64_t vtpu_bam_sort_by_tag(const char* src, const char* dst,
         while (!heap.empty()) {
             size_t i = heap.top().second;
             heap.pop();
+            ix_entry(readers[i].key.data(), readers[i].key.size());
             int32_t bs = readers[i].blob.size();
             w.write((uint8_t*)&bs, 4);
             w.write(readers[i].blob.data(), readers[i].blob.size());
@@ -915,9 +1018,23 @@ int64_t vtpu_bam_sort_by_tag(const char* src, const char* dst,
         for (size_t i = 0; i < readers.size(); ++i) fclose(readers[i].fp);
         for (const auto& fn : run_files) remove(fn.c_str());
     }
+    if (ixf) {
+        const uint32_t sentinel = 0xFFFFFFFFu;   // terminal entry
+        const uint64_t off = w.total_in;
+        fwrite(&sentinel, 4, 1, ixf);
+        fwrite(&off, 8, 1, ixf);
+        fclose(ixf);
+    }
     w.finish();
     fclose(out);
     return total;
+}
+
+int64_t vtpu_bam_sort_by_tag(const char* src, const char* dst,
+                             const char* tag, int64_t mem_limit,
+                             int32_t n_threads, int32_t level) {
+    return vtpu_bam_sort_by_tag_indexed(src, dst, tag, mem_limit,
+                                        n_threads, level, nullptr);
 }
 
 }  // extern "C"

@@ -60,6 +60,35 @@ def prepare_counter(bamfiles: Sequence[str], gtffile: str,
     return counter
 
 
+def feeder_byte_ranges(bamfile: str, owners: Sequence[frozenset]):
+    """Per-feeder (ustart, uend) uncompressed byte ranges from the
+    `.vtx` cell index next to a (native-sorted) cell-sorted BAM, plus
+    the file's serial cell order.  Returns None when the index (or the
+    native library) is unavailable -- feeders then full-scan.
+
+    The index maps every raw tag value to the offset of its first
+    record; ownership uses gem-group-stripped names, so a feeder's range
+    spans [first owned key, one past last owned key] and interleaved
+    non-owned cells are filtered by the worker's ownership check."""
+    from .. import native
+    if not native.available():
+        return None
+    idx = native.read_tag_index(str(bamfile) + ".vtx")
+    if idx is None:
+        return None
+    keys, offs = idx
+    stripped = [k.decode(errors="replace").split("-")[0] for k in keys]
+    byte_ranges = []
+    for owned in owners:
+        pos = [i for i, s in enumerate(stripped) if s in owned]
+        if pos:
+            rng = (int(offs[min(pos)]), int(offs[max(pos) + 1]))
+        else:
+            rng = (0, 0)                       # owns nothing in this file
+        byte_ranges.append([rng])              # one range per bamfile
+    return byte_ranges, stripped
+
+
 def count_distributed(bamfiles: Sequence[str], gtffile: Optional[str] = None,
                       valid_bcs: Optional[Sequence[str]] = None,
                       logic_name: str = "Default",
@@ -105,12 +134,24 @@ def count_distributed(bamfiles: Sequence[str], gtffile: Optional[str] = None,
         n_feeders = max(1, n_feeders)
         owners = [(w, n_feeders) for w in range(n_feeders)]
 
+    # .vtx cell index (written by the native sorter): each feeder seeks
+    # straight to its barcode range and decodes ONLY its slice, so the
+    # BGZF inflate + record parse scale with the feeder count instead of
+    # being repeated in full per feeder
+    byte_ranges = name_order = None
+    if valid_bcs is not None and len(bamfiles) == 1:
+        plan = feeder_byte_ranges(bamfiles[0], owners)
+        if plan is not None:
+            byte_ranges, name_order = plan
+
     results = soa_engine.run_owner_pool(counter, bamfiles, multimap,
                                         cell_batch_size, owners,
-                                        in_process=in_process)
+                                        in_process=in_process,
+                                        byte_ranges=byte_ranges)
     layer_names = list(counter.logic.layers)
     n_genes = len(counter.geneid2ix)
-    col_of, final, global_order = soa_engine.assemble_owner_results(results)
+    col_of, final, global_order = soa_engine.assemble_owner_results(
+        results, name_order=name_order)
 
     # per-feeder partials scattered into the global frame (non-owned
     # columns zero), stacked per layer; summed on the mesh or the host
