@@ -507,11 +507,26 @@ class SoaEngine:
         if n_processes <= 1:
             return self.count(bamfiles, multimap, cell_batch_size)
         c = self.c
-        owners = [(w, n_processes) for w in range(n_processes)]
-        results = run_owner_pool(c, list(bamfiles), multimap,
-                                 cell_batch_size, owners)
+        bamfiles = list(bamfiles)
+        owners: List = [(w, n_processes) for w in range(n_processes)]
+        byte_ranges = name_order = None
+        if c.filter_mode and len(bamfiles) == 1:
+            # whitelist + .vtx cell index (native-sorted BAM): contiguous
+            # barcode-range owners let each worker decode ONLY its slice
+            from ..parallel.feeders import feeder_byte_ranges
+            bcs = sorted(c.valid_bcset)
+            splits = np.array_split(np.arange(len(bcs)), n_processes)
+            range_owners = [frozenset(bcs[i] for i in r) for r in splits]
+            plan = feeder_byte_ranges(bamfiles[0], range_owners)
+            if plan is not None:
+                owners = range_owners
+                byte_ranges, name_order = plan
+        results = run_owner_pool(c, bamfiles, multimap,
+                                 cell_batch_size, owners,
+                                 byte_ranges=byte_ranges)
         self.skipped_no_barcode = results[0][4]
-        col_of, final, cell_bcs_order = assemble_owner_results(results)
+        col_of, final, cell_bcs_order = assemble_owner_results(
+            results, name_order=name_order)
         dict_list_arrays: Dict[str, List[np.ndarray]] = {}
         for layer in c.logic.layers:
             out = np.zeros((len(c.geneid2ix), len(final)),
