@@ -356,29 +356,27 @@ class VelocytoLoom:
 
     def custom_filter_attributes(self, attr_names: List[str],
                                  bool_filter: np.ndarray) -> None:
-        """Filter arbitrary attributes (reference :498-533)."""
-        for attr in attr_names:
-            if attr[-2:] == ".T":
-                obj = getattr(self, attr[:-2])
-                transpose_flag = True
-                attr = attr[:-2]
-            else:
-                obj = getattr(self, attr)
-                transpose_flag = False
+        """Filter arbitrary attributes (reference :498-533).  A ".T"
+        suffix filters a 2-D array along its LAST axis instead of the
+        first; dicts are filtered value-wise."""
+        for spec in attr_names:
+            last_axis = spec.endswith(".T")
+            name = spec[:-2] if last_axis else spec
+            obj = getattr(self, name)
             if type(obj) is dict:
-                setattr(self, attr, {k: v[bool_filter] for k, v in obj.items()})
+                kept = {k: v[bool_filter] for k, v in obj.items()}
             elif type(obj) is np.ndarray:
-                if len(obj.shape) > 1:
-                    if transpose_flag:
-                        setattr(self, attr, obj[..., bool_filter])
-                    else:
-                        setattr(self, attr, obj[bool_filter, :])
+                if obj.ndim > 1 and last_axis:
+                    kept = obj[..., bool_filter]
+                elif obj.ndim > 1:
+                    kept = obj[bool_filter, :]
                 else:
-                    setattr(self, attr, obj[bool_filter])
+                    kept = obj[bool_filter]
             else:
                 raise NotImplementedError(
                     f"The filtering of an object of type {type(obj)} "
                     "is not defined")
+            setattr(self, name, kept)
 
     # ------------------------------------------------------------------
     # normalization family (reference :535-904)
@@ -1751,82 +1749,66 @@ class VelocytoLoom:
                          scatter_kwargs_dict: Optional[Dict] = None,
                          plot_dots: bool = False, plot_random: bool = False,
                          **quiver_kwargs: Any) -> None:
-        """Grid vector-field plot (reference :1993-2093)."""
+        """Grid vector-field plot (reference :1993-2093).
+
+        Hidden grid points are either dropped or zeroed (plot_dots):
+        below-min_mass points always, below-min_magnitude points when a
+        magnitude floor is given (then the normalized field is drawn).
+        The quiver scale is calibrated against the randomized control's
+        90th-percentile arrow length, like the reference.
+        """
         plt = _plt()
-        _quiver_kwargs = {"angles": "xy", "scale_units": "xy",
-                          "minlength": 1.5}
-        _quiver_kwargs.update(quiver_kwargs)
-        scatter_dict = {"s": 20, "zorder": -1, "alpha": 0.2, "lw": 0,
-                        "c": self.colorandum}
-        if scatter_kwargs_dict is not None:
-            scatter_dict.update(scatter_kwargs_dict)
+        arrow_style = dict({"angles": "xy", "scale_units": "xy",
+                            "minlength": 1.5}, **quiver_kwargs)
+        dot_style = dict({"s": 20, "zorder": -1, "alpha": 0.2, "lw": 0,
+                          "c": self.colorandum},
+                         **(scatter_kwargs_dict or {}))
+
         if scale_type == "relative":
-            if hasattr(self, "flow_rndm"):
-                plot_scale = np.linalg.norm(
-                    np.max(self.flow_grid, 0) - np.min(self.flow_grid, 0), 2)
-                arrows_scale = np.percentile(np.linalg.norm(
-                    self.flow_rndm[self.total_p_mass >= min_mass, :], 2, 1), 90)
-                if quiver_scale == "auto":
-                    quiver_scale = arrows_scale / (plot_scale * 0.0025)
-                else:
-                    quiver_scale = quiver_scale * arrows_scale / \
-                        (plot_scale * 0.0025)
-            else:
+            if not hasattr(self, "flow_rndm"):
                 raise ValueError(
                     "`scale_type` was set to 'relative' but the randomized "
                     "control was not computed when running "
                     "estimate_transition_prob")
-        mass_filter = self.total_p_mass < min_mass
-        if min_magnitude is None:
-            XY, UV = np.copy(self.flow_grid), np.copy(self.flow)
-            if not plot_dots:
-                UV = UV[~mass_filter, :]
-                XY = XY[~mass_filter, :]
-            else:
-                UV[mass_filter, :] = 0
-        else:
-            XY, UV = np.copy(self.flow_grid), np.copy(self.flow_norm)
-            if not plot_dots:
-                sel = ~(mass_filter | (self.flow_norm_magnitude < min_magnitude))
-                UV = UV[sel, :]
-                XY = XY[sel, :]
-            else:
-                UV[mass_filter |
-                   (self.flow_norm_magnitude < min_magnitude), :] = 0
-        if plot_random:
+            span = np.linalg.norm(np.ptp(self.flow_grid, 0), 2)
+            typical = np.percentile(np.linalg.norm(
+                self.flow_rndm[self.total_p_mass >= min_mass, :], 2, 1), 90)
+            base = typical / (span * 0.0025)
+            quiver_scale = base if quiver_scale == "auto" \
+                else quiver_scale * base
+
+        hidden = self.total_p_mass < min_mass
+
+        def field(which):
             if min_magnitude is None:
-                XYr, UV_rndm = np.copy(self.flow_grid), np.copy(self.flow_rndm)
-                if not plot_dots:
-                    UV_rndm = UV_rndm[~mass_filter, :]
-                    XYr = XYr[~mass_filter, :]
-                else:
-                    UV_rndm[mass_filter, :] = 0
+                vec, hide = getattr(self, which), hidden
             else:
-                XYr, UV_rndm = np.copy(self.flow_grid), \
-                    np.copy(self.flow_norm_rndm)
-                if not plot_dots:
-                    sel = ~(mass_filter |
-                            (self.flow_norm_magnitude_rndm < min_magnitude))
-                    UV_rndm = UV_rndm[sel, :]
-                    XYr = XYr[sel, :]
-                else:
-                    UV_rndm[mass_filter |
-                            (self.flow_norm_magnitude_rndm < min_magnitude),
-                            :] = 0
+                vec = getattr(self, which.replace("flow", "flow_norm"))
+                mag = self.flow_norm_magnitude if which == "flow" \
+                    else self.flow_norm_magnitude_rndm
+                hide = hidden | (mag < min_magnitude)
+            pts, vec = np.copy(self.flow_grid), np.copy(vec)
+            if plot_dots:
+                vec[hide, :] = 0
+            else:
+                pts, vec = pts[~hide, :], vec[~hide, :]
+            return pts, vec
+
+        def panel(which):
+            pts, vec = field(which)
+            plt.scatter(self.flow_embedding[:, 0],
+                        self.flow_embedding[:, 1], **dot_style)
+            plt.quiver(pts[:, 0], pts[:, 1], vec[:, 0], vec[:, 1],
+                       scale=quiver_scale, zorder=20000, **arrow_style)
+            plt.axis("off")
+
+        if plot_random:
             plt.subplot(122)
             plt.title("Randomized")
-            plt.scatter(self.flow_embedding[:, 0], self.flow_embedding[:, 1],
-                        **scatter_dict)
-            plt.quiver(XYr[:, 0], XYr[:, 1], UV_rndm[:, 0], UV_rndm[:, 1],
-                       scale=quiver_scale, zorder=20000, **_quiver_kwargs)
-            plt.axis("off")
+            panel("flow_rndm")
             plt.subplot(121)
             plt.title("Data")
-        plt.scatter(self.flow_embedding[:, 0], self.flow_embedding[:, 1],
-                    **scatter_dict)
-        plt.quiver(XY[:, 0], XY[:, 1], UV[:, 0], UV[:, 1],
-                   scale=quiver_scale, zorder=20000, **_quiver_kwargs)
-        plt.axis("off")
+        panel("flow")
 
     def plot_arrows_embedding(self, choice: Union[str, int] = "auto",
                               quiver_scale: Union[str, float] = "auto",
@@ -1837,66 +1819,57 @@ class VelocytoLoom:
                               new_fig: bool = False,
                               plot_random: bool = True,
                               **quiver_kwargs: Any) -> None:
-        """Cell-wise arrow plot (reference :2095-2190)."""
+        """Cell-wise arrow plot (reference :2095-2190): a random subset
+        of cells gets an arrow for its embedding shift, optionally next
+        to the randomized-control panel; the quiver scale is calibrated
+        against the control's 80th-percentile arrow length."""
         plt = _plt()
         if choice == "auto":
             choice = int(self.S.shape[1] / 3)
-        _quiver_kwargs = {"angles": "xy", "scale_units": "xy",
-                          "minlength": 1.5}
-        _scatter_kwargs = dict(c="0.8", alpha=0.4, s=10,
-                               edgecolor=(0, 0, 0, 1), lw=0.3)
-        _scatter_kwargs.update(scatter_kwargs)
+        have_rndm = hasattr(self, "delta_embedding_random")
+        dot_style = dict(dict(c="0.8", alpha=0.4, s=10,
+                              edgecolor=(0, 0, 0, 1), lw=0.3),
+                         **scatter_kwargs)
         if new_fig:
-            if plot_random and hasattr(self, "delta_embedding_random"):
-                plt.figure(figsize=(22, 12))
-            else:
-                plt.figure(figsize=(14, 14))
-        ix_choice = np.random.choice(self.embedding.shape[0], size=choice,
-                                     replace=False)
+            plt.figure(figsize=(22, 12) if plot_random and have_rndm
+                       else (14, 14))
+        subset = np.random.choice(self.embedding.shape[0], size=choice,
+                                  replace=False)
         if scale_type == "relative":
-            if hasattr(self, "delta_embedding_random"):
-                plot_scale = np.linalg.norm(
-                    np.max(self.flow_grid, 0) - np.min(self.flow_grid, 0), 2)
-                arrows_scale = np.percentile(np.linalg.norm(
-                    self.delta_embedding_random, 2, 1), 80)
-                if quiver_scale == "auto":
-                    quiver_scale = arrows_scale / (plot_scale * 0.005)
-                else:
-                    quiver_scale = quiver_scale * arrows_scale / \
-                        (plot_scale * 0.005)
-            else:
+            if not have_rndm:
                 raise ValueError(
                     "`scale_type` was set to 'relative' but the randomized "
                     "control was not computed when running "
                     "estimate_transition_prob")
-        if color_arrow == "cluster":
-            colorandum = self.colorandum[ix_choice, :]
-        else:
-            colorandum = color_arrow
-        _quiver_kwargs.update({"color": colorandum})
-        _quiver_kwargs.update(quiver_kwargs)
-        if plot_random and hasattr(self, "delta_embedding_random"):
-            plt.subplot(122)
-            plt.title("Randomized")
+            span = np.linalg.norm(np.ptp(self.flow_grid, 0), 2)
+            typical = np.percentile(np.linalg.norm(
+                self.delta_embedding_random, 2, 1), 80)
+            base = typical / (span * 0.005)
+            quiver_scale = base if quiver_scale == "auto" \
+                else quiver_scale * base
+        arrow_style = dict({"angles": "xy", "scale_units": "xy",
+                            "minlength": 1.5,
+                            "color": (self.colorandum[subset, :]
+                                      if color_arrow == "cluster"
+                                      else color_arrow)},
+                           **quiver_kwargs)
+
+        def panel(shift):
             if plot_scatter:
                 plt.scatter(self.embedding[:, 0], self.embedding[:, 1],
-                            **_scatter_kwargs)
-            plt.quiver(self.embedding[ix_choice, 0],
-                       self.embedding[ix_choice, 1],
-                       self.delta_embedding_random[ix_choice, 0],
-                       self.delta_embedding_random[ix_choice, 1],
-                       scale=quiver_scale, **_quiver_kwargs)
+                            **dot_style)
+            plt.quiver(self.embedding[subset, 0], self.embedding[subset, 1],
+                       shift[subset, 0], shift[subset, 1],
+                       scale=quiver_scale, **arrow_style)
             plt.axis("off")
+
+        if plot_random and have_rndm:
+            plt.subplot(122)
+            plt.title("Randomized")
+            panel(self.delta_embedding_random)
             plt.subplot(121)
             plt.title("Data")
-        if plot_scatter:
-            plt.scatter(self.embedding[:, 0], self.embedding[:, 1],
-                        **_scatter_kwargs)
-        plt.quiver(self.embedding[ix_choice, 0], self.embedding[ix_choice, 1],
-                   self.delta_embedding[ix_choice, 0],
-                   self.delta_embedding[ix_choice, 1],
-                   scale=quiver_scale, **_quiver_kwargs)
-        plt.axis("off")
+        panel(self.delta_embedding)
 
     def plot_cell_transitions(self, cell_ix: int = 0, alpha: float = 0.1,
                               alpha_neigh: float = 0.2,
@@ -1984,25 +1957,23 @@ class VelocytoLoom:
         plt.title(f"{gene_name}")
 
     def reload_raw(self, substitute: bool = False) -> None:
-        """Reload pristine matrices from the loom (reference :2314-2342)."""
+        """Reload pristine matrices from the loom (reference :2314-2342):
+        into S/U/A when substitute, else as raw_* copies."""
+        prefix = "" if substitute else "raw_"
         ds = loomio.connect(self.loom_filepath)
-        if substitute:
-            self.S = ds.layer["spliced"][:, :]
-            self.U = ds.layer["unspliced"][:, :]
-            self.A = ds.layer["ambiguous"][:, :]
-            self.initial_cell_size = self.S.sum(0)
-            self.initial_Ucell_size = self.U.sum(0)
-            self.ca = dict(ds.col_attrs.items())
-            self.ra = dict(ds.row_attrs.items())
-        else:
-            self.raw_S = ds.layer["spliced"][:, :]
-            self.raw_U = ds.layer["unspliced"][:, :]
-            self.raw_A = ds.layer["ambiguous"][:, :]
-            self.raw_initial_cell_size = self.raw_S.sum(0)
-            self.raw_initial_Ucell_size = self.raw_U.sum(0)
-            self.raw_ca = dict(ds.col_attrs.items())
-            self.raw_ra = dict(ds.row_attrs.items())
-        ds.close()
+        try:
+            loaded = {}
+            for name in ("spliced", "unspliced", "ambiguous"):
+                loaded[name] = ds.layer[name][:, :]
+                setattr(self, prefix + name[0].upper(), loaded[name])
+            setattr(self, prefix + "initial_cell_size",
+                    loaded["spliced"].sum(0))
+            setattr(self, prefix + "initial_Ucell_size",
+                    loaded["unspliced"].sum(0))
+            setattr(self, prefix + "ca", dict(ds.col_attrs.items()))
+            setattr(self, prefix + "ra", dict(ds.row_attrs.items()))
+        finally:
+            ds.close()
 
 
 # ---------------------------------------------------------------------------
