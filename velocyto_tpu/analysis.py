@@ -781,7 +781,8 @@ class VelocytoLoom:
                 W = weights
             elif weights not in ("sum", "prod", "maxmin_weighted", "maxmin",
                                  "maxmin_diag", "maxmin_double"):
-                pass
+                raise NotImplementedError(
+                    f"weights={weights!r} is not a supported scheme")
             elif all_ss:
                 from .ops.gamma import compute_fit_weights
                 need_xs = weights in ("maxmin_diag", "maxmin_double")
@@ -1068,10 +1069,22 @@ class VelocytoLoom:
         if knn_random:
             # sampled mode: the (N, nn) neighbor matrix never leaves the
             # device (sklearn-exact ordering via the f64 re-score); only
-            # the host-RNG sampled column positions are uploaded
-            from .ops import knn_device as kd
-            _dd, idx_dev = kd.knn_search_dev(embedding, min(nn_k + 1, N),
-                                             mesh=mesh)
+            # the host-RNG sampled column positions are uploaded.  On a
+            # CPU backend "device" memory is host memory, so the kd-tree
+            # beats the O(N^2) brute pass for 2-3D embeddings and costs
+            # no transfer.
+            if embedding.shape[1] <= 3 and jax.default_backend() == "cpu":
+                from sklearn.neighbors import NearestNeighbors
+                nn_model = NearestNeighbors(n_neighbors=min(nn_k + 1, N),
+                                            n_jobs=n_jobs)
+                nn_model.fit(embedding)
+                _dists, idx_host = nn_model.kneighbors(embedding)
+                idx_dev = jnp.asarray(idx_host.astype(np.int32))
+            else:
+                from .ops import knn_device as kd
+                _dd, idx_dev = kd.knn_search_dev(embedding,
+                                                 min(nn_k + 1, N),
+                                                 mesh=mesh)
             neigh_full = _drop_self_dev(idx_dev, nn_k)
         else:
             if embedding.shape[1] <= 3:

@@ -127,11 +127,11 @@ def run_owner_pool(counter, bamfiles: List[str], multimap: bool,
     finally:
         if soa is not None:
             counter._soa = soa
-    # with byte ranges every worker tracks its own slice's encounter
-    # order (the caller reassembles the global order from the index);
-    # otherwise worker 0 scans everything and records it
+    # in ranged mode the caller derives the global order from the .vtx
+    # index, so no worker needs to track it; otherwise worker 0 scans
+    # everything and records the first-encounter order
     def tg(w):
-        return True if byte_ranges is not None else w == 0
+        return byte_ranges is None and w == 0
 
     def br(w):
         return byte_ranges[w] if byte_ranges is not None else None
@@ -510,7 +510,7 @@ class SoaEngine:
         bamfiles = list(bamfiles)
         owners: List = [(w, n_processes) for w in range(n_processes)]
         byte_ranges = name_order = None
-        if c.filter_mode and len(bamfiles) == 1:
+        if c.filter_mode and len(bamfiles) == 1 and not c.onefilepercell:
             # whitelist + .vtx cell index (native-sorted BAM): contiguous
             # barcode-range owners let each worker decode ONLY its slice
             from ..parallel.feeders import feeder_byte_ranges
@@ -524,7 +524,14 @@ class SoaEngine:
         results = run_owner_pool(c, bamfiles, multimap,
                                  cell_batch_size, owners,
                                  byte_ranges=byte_ranges)
-        self.skipped_no_barcode = results[0][4]
+        # ranged workers decode DISJOINT slices (incl. the untagged
+        # prefix, folded into the first range): the no-barcode counts
+        # sum; in hash mode every worker decodes everything, so worker
+        # 0's count is the total
+        if byte_ranges is not None:
+            self.skipped_no_barcode = sum(r[4] for r in results)
+        else:
+            self.skipped_no_barcode = results[0][4]
         col_of, final, cell_bcs_order = assemble_owner_results(
             results, name_order=name_order)
         dict_list_arrays: Dict[str, List[np.ndarray]] = {}

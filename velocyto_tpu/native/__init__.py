@@ -159,17 +159,29 @@ def read_tag_index(path: str):
     """Parse a `.vtx` cell index: returns (keys list[bytes], offsets
     np.uint64 (n+1,)) where offsets[i] is the uncompressed stream offset
     of the first record with tag value keys[i] and offsets[-1] is the
-    end-of-records offset.  Returns None if absent/invalid."""
+    end-of-records offset.  Returns None if absent, invalid, or STALE:
+    the VTX2 header records the compressed size of the BAM it was
+    written with, and a mismatch (e.g. the BAM was re-sorted by a tool
+    that writes no index) rejects the index rather than seeking into
+    the wrong stream."""
+    import os
     import struct
     try:
         with open(path, "rb") as f:
             data = f.read()
     except OSError:
         return None
-    if len(data) < 4 or data[:4] != b"VTX1":
+    if len(data) < 12 or data[:4] != b"VTX2":
+        return None
+    (bam_size,) = struct.unpack_from("<Q", data, 4)
+    bam_path = path[:-4] if path.endswith(".vtx") else None
+    try:
+        if bam_path is None or os.path.getsize(bam_path) != bam_size:
+            return None
+    except OSError:
         return None
     keys, offs = [], []
-    p = 4
+    p = 12
     while p + 12 <= len(data):
         klen, off = struct.unpack_from("<IQ", data, p)
         p += 12

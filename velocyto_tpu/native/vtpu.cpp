@@ -101,6 +101,7 @@ struct BamHandle {
     // from the .vtx cell index)
     uint64_t u_consumed = 0;
     uint64_t u_limit = UINT64_MAX;
+    uint64_t u_header = 0;          // stream offset of the first record
 };
 
 static const uint64_t BGZF_WINDOW = 64;   // max in-flight blocks (<= 4 MiB)
@@ -281,6 +282,7 @@ void* vtpu_bam_open(const char* path) {
         h->refs.emplace_back(nm.data());
         h->ref_len.push_back(l_ref);
     }
+    h->u_header = h->u_consumed;
     return h;
 }
 
@@ -297,6 +299,7 @@ void vtpu_bam_close(void* vh) {
 // there, and drops the in-block prefix.  Returns 0 on success.
 int vtpu_bam_seek_uncompressed(void* vh, uint64_t ustart) {
     BamHandle* h = (BamHandle*)vh;
+    if (ustart < h->u_header) ustart = h->u_header;   // skip the header
     stop_pipeline(h);
     {
         std::lock_guard<std::mutex> lk(h->mu);
@@ -953,22 +956,20 @@ int64_t vtpu_bam_sort_by_tag_indexed(const char* src, const char* dst,
     BgzfWriter w(out, level, n_threads);
     w.write(header.data(), header.size());
 
-    FILE* ixf = nullptr;
-    if (index_path) {
-        ixf = fopen(index_path, "wb");
-        if (ixf) fwrite("VTX1", 1, 4, ixf);
-    }
+    // cell-index entries buffered in memory; the sidecar is written
+    // AFTER the BGZF output closes so its header can carry the final
+    // compressed file size (the staleness check: a .vtx only matches
+    // the exact BAM it was written with)
+    struct IxEntry { uint64_t off; std::string key; };
+    std::vector<IxEntry> ix_entries;
     std::string ix_prev;
     bool ix_any = false;
     auto ix_entry = [&](const char* k, uint32_t klen) {
-        if (!ixf) return;
+        if (!index_path) return;
         if (ix_any && ix_prev.size() == klen &&
             memcmp(ix_prev.data(), k, klen) == 0)
             return;
-        const uint64_t off = w.total_in;
-        fwrite(&klen, 4, 1, ixf);
-        fwrite(&off, 8, 1, ixf);
-        fwrite(k, 1, klen, ixf);
+        ix_entries.push_back({w.total_in, std::string(k, klen)});
         ix_prev.assign(k, klen);
         ix_any = true;
     };
@@ -1018,15 +1019,33 @@ int64_t vtpu_bam_sort_by_tag_indexed(const char* src, const char* dst,
         for (size_t i = 0; i < readers.size(); ++i) fclose(readers[i].fp);
         for (const auto& fn : run_files) remove(fn.c_str());
     }
-    if (ixf) {
-        const uint32_t sentinel = 0xFFFFFFFFu;   // terminal entry
-        const uint64_t off = w.total_in;
-        fwrite(&sentinel, 4, 1, ixf);
-        fwrite(&off, 8, 1, ixf);
-        fclose(ixf);
-    }
+    const uint64_t end_off = w.total_in;
     w.finish();
     fclose(out);
+    if (index_path) {
+        FILE* ixf = fopen(index_path, "wb");
+        if (ixf) {
+            fwrite("VTX2", 1, 4, ixf);
+            FILE* chk = fopen(dst, "rb");
+            uint64_t bam_size = 0;
+            if (chk) {
+                fseek(chk, 0, SEEK_END);
+                bam_size = (uint64_t)ftell(chk);
+                fclose(chk);
+            }
+            fwrite(&bam_size, 8, 1, ixf);
+            for (const IxEntry& e : ix_entries) {
+                const uint32_t klen = (uint32_t)e.key.size();
+                fwrite(&klen, 4, 1, ixf);
+                fwrite(&e.off, 8, 1, ixf);
+                fwrite(e.key.data(), 1, e.key.size(), ixf);
+            }
+            const uint32_t sentinel = 0xFFFFFFFFu;   // terminal entry
+            fwrite(&sentinel, 4, 1, ixf);
+            fwrite(&end_off, 8, 1, ixf);
+            fclose(ixf);
+        }
+    }
     return total;
 }
 

@@ -40,6 +40,18 @@ import numpy as np
 from .knn import _candidate_plan, _knn_search_impl
 
 
+@functools.lru_cache(maxsize=1)
+def _f64_supported() -> bool:
+    """Whether explicitly-requested f64 survives on this backend (needs
+    jax_explicit_x64_dtypes=allow, set at package import but tolerated
+    to be absent on older JAX).  Without it the exact re-score silently
+    ran in f32; callers fall back to the host f64 path instead."""
+    try:
+        return jnp.asarray(np.zeros(1), jnp.float64).dtype == jnp.float64
+    except Exception:
+        return False
+
+
 class KnnGraphDev(NamedTuple):
     """Device-resident kNN graph state.
 
@@ -109,6 +121,12 @@ def knn_search_dev(data: np.ndarray, k: int, metric: str = "euclidean",
     """
     n = data.shape[0]
     k = min(k, n)
+    if not _f64_supported():
+        # exactness over residency: run the validated host path and
+        # place its results on the default device
+        from .knn import knn_search
+        dist_h, idx_h = knn_search(data, k, metric=metric)
+        return (jnp.asarray(dist_h), jnp.asarray(idx_h.astype(np.int32)))
     x64h = np.asarray(data, dtype=np.float64)
     if metric == "correlation":
         x64h = x64h - x64h.mean(axis=1, keepdims=True)
@@ -307,7 +325,8 @@ def _smooth_rows_impl(data_rows: jax.Array, nbr_idx: jax.Array,
     """
     n, gdim = data_rows.shape
     kk = nbr_idx.shape[1]
-    block = min(block, max(8, n))
+    # clamp so the (block, N) slab stays ~256 MB at any cell count
+    block = min(block, max(8, (1 << 26) // max(1, n)), max(8, n))
     n_pad = ((n + block - 1) // block) * block
     idx_p = jnp.pad(nbr_idx, ((0, n_pad - n), (0, 0)))
     w_p = jnp.pad(nbr_w, ((0, n_pad - n), (0, 0)))

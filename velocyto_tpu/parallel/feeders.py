@@ -86,6 +86,13 @@ def feeder_byte_ranges(bamfile: str, owners: Sequence[frozenset]):
         else:
             rng = (0, 0)                       # owns nothing in this file
         byte_ranges.append([rng])              # one range per bamfile
+    # fold the untagged head of the file (records with no/unknown tag
+    # sort first) into the earliest range so the skipped-read telemetry
+    # still sees those records
+    nonempty = [i for i, r in enumerate(byte_ranges) if r[0][0] < r[0][1]]
+    if nonempty:
+        first = min(nonempty, key=lambda i: byte_ranges[i][0][0])
+        byte_ranges[first] = [(0, byte_ranges[first][0][1])]
     return byte_ranges, stripped
 
 
@@ -139,7 +146,10 @@ def count_distributed(bamfiles: Sequence[str], gtffile: Optional[str] = None,
     # BGZF inflate + record parse scale with the feeder count instead of
     # being repeated in full per feeder
     byte_ranges = name_order = None
-    if valid_bcs is not None and len(bamfiles) == 1:
+    # (onefilepercell cell names are FILE labels, not tag values -- the
+    # index keys can never match them, so ranged decode must not apply)
+    if valid_bcs is not None and len(bamfiles) == 1 \
+            and not counter.onefilepercell:
         plan = feeder_byte_ranges(bamfiles[0], owners)
         if plan is not None:
             byte_ranges, name_order = plan
