@@ -125,3 +125,32 @@ def test_feeders_spawn_processes(fixture):
     for layer in serial_layers:
         np.testing.assert_array_equal(layers[layer][:, pf],
                                       serial_layers[layer][:, ps])
+
+
+def test_vtx_staleness_rejected(fixture, tmp_path):
+    """A .vtx written for a different BAM (stale after re-sorting) must
+    be rejected, falling back to the full-scan path -- never seeking
+    into the wrong stream."""
+    from velocyto_tpu import native
+    if not native.available():
+        pytest.skip("libvtpu not available")
+    gtf, bam_cs, bam_pos, bcs = fixture
+    idx = native.read_tag_index(bam_cs + ".vtx")
+    assert idx is not None, "fixture sort should have written a .vtx"
+    # same BAM, but the index claims a different BAM size (what a
+    # re-sort by another tool leaves behind)
+    import shutil
+    import struct
+    stale = str(tmp_path / "stale.bam")
+    shutil.copy(bam_cs, stale)
+    vtx = bytearray(open(bam_cs + ".vtx", "rb").read())
+    (size,) = struct.unpack_from("<Q", vtx, 4)
+    struct.pack_into("<Q", vtx, 4, size + 1000)
+    open(stale + ".vtx", "wb").write(bytes(vtx))
+    assert native.read_tag_index(stale + ".vtx") is None
+    # counting still works (full scan fallback)
+    layers, order = count_distributed(
+        [stale], gtf, valid_bcs=sorted(bcs), logic_name="Permissive10X",
+        markup_bamfiles=[bam_pos], n_feeders=2, cell_batch_size=5,
+        mesh=None, in_process=True)
+    assert sum(int(m.sum()) for m in layers.values()) > 0
