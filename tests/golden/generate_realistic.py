@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.join(HERE, "..", ".."))   # repo root
 from generate_counting import _install_stubs         # noqa: E402
 import realistic                                     # noqa: E402
 
-LOGICS = ["Permissive10X", "ValidatedIntrons10X"]
+LOGICS = ["Permissive10X", "ValidatedIntrons10X", "Discordant10X",
+          "Stricter10X"]
 OUT = os.path.join(HERE, "realistic_golden.npz")
 REF_DIR = os.environ.get("VTPU_REFERENCE_DIR", "/root/reference")
 

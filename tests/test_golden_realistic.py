@@ -58,7 +58,8 @@ def _configs():
 
 @pytest.mark.parametrize("use_mask", [False, True], ids=["nomask", "mask"])
 @pytest.mark.parametrize("logic_name",
-                         ["Permissive10X", "ValidatedIntrons10X"])
+                         ["Permissive10X", "ValidatedIntrons10X",
+                          "Discordant10X", "Stricter10X"])
 def test_realistic_matches_reference_engine(golden, logic_name, use_mask):
     for config, workdir in _configs():
         key = f"{config}__{logic_name}" + ("_mask" if use_mask else "")
