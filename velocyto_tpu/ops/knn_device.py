@@ -101,13 +101,10 @@ def _reorder_truncate_impl(d2: jax.Array, idx: jax.Array, k: int
                            ) -> Tuple[jax.Array, jax.Array]:
     """Lexicographic (distance, index) ascending order, truncated to k --
     the same tie-breaking as sklearn exact brute force (and as the host
-    _exact_rescore_topk)."""
-    by_idx = jnp.argsort(idx, axis=1, stable=True)
-    ii = jnp.take_along_axis(idx, by_idx, axis=1)
-    dd = jnp.take_along_axis(d2, by_idx, axis=1)
-    order = jnp.argsort(dd, axis=1, stable=True)
-    return (jnp.take_along_axis(dd, order, axis=1)[:, :k],
-            jnp.take_along_axis(ii, order, axis=1)[:, :k])
+    _exact_rescore_topk).  One two-key variadic sort instead of two
+    argsorts + four take_along_axis gathers."""
+    dd, ii = jax.lax.sort((d2, idx), num_keys=2)
+    return dd[:, :k], ii[:, :k]
 
 
 def knn_search_dev(data: np.ndarray, k: int, metric: str = "euclidean",
