@@ -72,7 +72,8 @@ def attr_transition(n=20000, g=2000, nn=3500, frac=0.5):
     from velocyto_tpu import native as _native
     from velocyto_tpu.analysis import (_corr_transform_dev,
                                        _permute_rows_nsign_plan,
-                                       _permute_apply_dev, _drop_self_dev)
+                                       _permute_apply_dev,
+                                       _sample_neighbors_dev)
 
     out = {}
     rng = np.random.RandomState(0)
@@ -87,19 +88,17 @@ def attr_transition(n=20000, g=2000, nn=3500, frac=0.5):
 
     idx_dev = timed("embedding_knn", lambda: kd.knn_search_dev(
         emb, min(nn_k + 1, n))[1], out)
-    neigh_full = timed("drop_self", lambda: _drop_self_dev(idx_dev, nn_k),
-                       out)
     p = np.linspace(0.5, 0.1, nn_k)
     p = p / p.sum()
     n_samp = int(frac * nn_k)
 
     def draw():
-        r = _native.choice_noreplace_rows(15071990, n, nn_k, n_samp, p)
+        r = _native.choice_noreplace_rows_state(15071990, n, nn_k, n_samp, p)
         return r[0]
     samp = timed("rng_sampling(native)", draw, out)
-    samp_dev = jnp.asarray(samp.astype(np.int32))
-    neigh_ixs = timed("neighbor_gather", lambda: jnp.take_along_axis(
-        neigh_full, samp_dev, axis=1), out)
+    samp_dev = jnp.asarray(samp.astype(np.uint16))
+    neigh_ixs = timed("sample_gather(fused)", lambda: _sample_neighbors_dev(
+        idx_dev, samp_dev, nn_k), out)
 
     perms, signs = _permute_rows_nsign_plan(g, n)
     dS_r = timed("permute_rndm", lambda: _permute_apply_dev(

@@ -7,6 +7,15 @@ n_neighbors=3500, sampled_fraction=0.5) on a synthetic dataset of
 VTPU_BENCH_PIPE_CELLS x VTPU_BENCH_PIPE_GENES (default 20000 x 2000),
 records per-stage wall times, and writes BENCH_scale.json.
 
+Measurement policy (round 4): the attached TPU executes identical cached
+programs 5-15x slower in some session phases (co-tenant contention,
+fingerprinted to MXU matmul latency).  So each invocation runs the
+pipeline VTPU_BENCH_PIPE_REPS times (default 3), brackets every run with
+a D=50 MXU distance-matmul probe, marks a run clean when its probes stay
+under VTPU_BENCH_PROBE_MS (default 8 ms; clean sessions measure ~3 ms),
+and reports the MEDIAN of clean runs as the headline with min/max spread
+alongside.  Single best-run numbers are kept only as a secondary field.
+
 Notes on measurement: stage times include host<->device transfer, which
 on the axon development tunnel can be orders of magnitude slower than a
 production PCIe host; the JSON records the backend so numbers are
@@ -27,6 +36,8 @@ B_MAXL = int(os.environ.get("VTPU_BENCH_PIPE_BMAXL", 1500))
 N_NEIGHBORS = int(os.environ.get("VTPU_BENCH_PIPE_NN", 3500))
 SAMPLED_FRACTION = 0.5
 RANDOMIZED = os.environ.get("VTPU_BENCH_PIPE_RANDOMIZED", "1") == "1"
+REPS = int(os.environ.get("VTPU_BENCH_PIPE_REPS", 3))
+PROBE_MS = float(os.environ.get("VTPU_BENCH_PROBE_MS", 8.0))
 
 
 def synth(rng, n, g):
@@ -42,13 +53,48 @@ def synth(rng, n, g):
     return S, U
 
 
-def main():
+def mxu_probe():
+    """D=50 MXU distance-matmul fingerprint; contended sessions measure
+    5-15x the clean ~3 ms."""
     import jax
-    import velocyto_tpu as vt
+    import jax.numpy as jnp
 
-    t_all = time.perf_counter()
+    @jax.jit
+    def prob(a, b):
+        return jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
+
+    a = jnp.ones((2048, 50), jnp.float32)
+    b = jnp.ones((8192, 50), jnp.float32)
+    float(jnp.sum(prob(a, b)))   # warm
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = prob(a, b)
+    float(jnp.sum(out))
+    return (time.perf_counter() - t0) / 20 * 1e3
+
+
+_HOST_PROBE = {}
+
+
+def host_probe():
+    """Host BLAS fingerprint (one small dgemm): the host cores are also
+    shared, and host-side stalls (observed: an identical PCA stage
+    swinging 3 s -> 34 s) are invisible to the device probe."""
+    a = _HOST_PROBE.setdefault("a", np.random.RandomState(1).randn(512, 512))
+    a @ a   # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        a @ a
+    return (time.perf_counter() - t0) / 5 * 1e3
+
+
+def run_once(S, U):
+    import velocyto_tpu as vt
+    import jax.numpy as jnp
+
     stages = {}
-    _vlm = {}
+    t_all = time.perf_counter()
+    v = vt.VelocytoLoom.__new__(vt.VelocytoLoom)
 
     def stage(name, fn):
         t0 = time.perf_counter()
@@ -57,23 +103,16 @@ def main():
         # 8-byte reduction pull per device-backed array so the stage
         # table attributes time truthfully (jax.block_until_ready is
         # unreliable through the axon tunnel)
-        import jax.numpy as jnp
-        vlm = _vlm.get("v")
-        for arr in (getattr(vlm, "_dev_state", None) or {}).values():
+        for arr in (getattr(v, "_dev_state", None) or {}).values():
             float(jnp.sum(arr))
         dt = time.perf_counter() - t0
         stages[name] = round(dt, 2)
         print(f"# {name}: {dt:.1f}s", flush=True)
         return out
 
-    rng = np.random.RandomState(0)
-    S, U = stage("synthesize", lambda: synth(rng, CELLS, GENES))
-
-    v = vt.VelocytoLoom.__new__(vt.VelocytoLoom)
-    _vlm["v"] = v
-    v.S, v.U, v.A = S, U, np.zeros_like(S)
-    v.initial_cell_size = S.sum(0)
-    v.initial_Ucell_size = U.sum(0)
+    v.S, v.U, v.A = S.copy(), U.copy(), np.zeros_like(S)
+    v.initial_cell_size = v.S.sum(0)
+    v.initial_Ucell_size = v.U.sum(0)
     v.ca = {"CellID": np.array([f"c{i}" for i in range(CELLS)])}
     v.ra = {"Gene": np.array([f"g{i}" for i in range(GENES)])}
 
@@ -89,6 +128,7 @@ def main():
           lambda: v.knn_imputation(k=K, balanced=True, b_sight=B_SIGHT,
                                    b_maxl=B_MAXL, n_jobs=16))
     stage("fit_gammas", lambda: v.fit_gammas())
+
     def _vel():
         v.predict_U()
         v.calculate_velocity()
@@ -108,18 +148,57 @@ def main():
     stage("grid_arrows",
           lambda: v.calculate_grid_arrows(smooth=0.5, steps=(40, 40),
                                           n_neighbors=100))
-
     total = time.perf_counter() - t_all
     assert np.all(np.isfinite(v.delta_embedding)), "non-finite output"
+    return total, stages
+
+
+def main():
+    import jax
+
+    rng = np.random.RandomState(0)
+    t0 = time.perf_counter()
+    S, U = synth(rng, CELLS, GENES)
+    synth_s = round(time.perf_counter() - t0, 2)
+    print(f"# synthesize: {synth_s}s", flush=True)
+
+    host_ms = float(os.environ.get("VTPU_BENCH_HOST_PROBE_MS", 120.0))
+    runs = []
+    for rep in range(REPS):
+        p_before, h_before = mxu_probe(), host_probe()
+        total, stages = run_once(S, U)
+        p_after, h_after = mxu_probe(), host_probe()
+        clean = max(p_before, p_after) <= PROBE_MS and \
+            max(h_before, h_after) <= host_ms
+        runs.append({"total": round(total, 1), "stages": stages,
+                     "probe_ms": [round(p_before, 2), round(p_after, 2)],
+                     "host_probe_ms": [round(h_before, 1),
+                                       round(h_after, 1)],
+                     "clean": clean})
+        print(f"# run {rep}: {total:.1f}s probes "
+              f"{p_before:.1f}/{p_after:.1f}ms host "
+              f"{h_before:.0f}/{h_after:.0f}ms clean={clean}", flush=True)
+
+    clean_runs = [r for r in runs if r["clean"]] or runs
+    totals = sorted(r["total"] for r in clean_runs)
+    median = totals[len(totals) // 2]
+    med_run = next(r for r in clean_runs if r["total"] == median)
     result = {
         "metric": "pipeline_seconds_end_to_end",
-        "value": round(total, 1),
+        "value": median,
         "unit": f"s ({CELLS} cells x {GENES} genes, k={K}, "
-                f"b_sight={B_SIGHT}, nn={N_NEIGHBORS})",
+                f"b_sight={B_SIGHT}, nn={N_NEIGHBORS}; median of "
+                f"{len(clean_runs)} clean runs, spread "
+                f"{totals[0]}-{totals[-1]})",
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
-        "stages": stages,
-        "cells_per_sec_end_to_end": round(CELLS / total, 1),
+        "stages": med_run["stages"],
+        "synthesize_fixture_seconds": synth_s,
+        "runs": runs,
+        "min_total": totals[0],
+        "max_total": totals[-1],
+        "n_clean": len([r for r in runs if r["clean"]]),
+        "cells_per_sec_end_to_end": round(CELLS / median, 1),
     }
     print(json.dumps(result))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -133,14 +212,9 @@ def main():
                 merged = json.load(f)
         except Exception:
             merged = {}
-    prog = merged.setdefault("progression_this_round_s", [])
-    prog.append(result["value"])
-    merged["last_run"] = result
-    # the headline keeps the best clean run: the attached TPU swings
-    # 5-15x across sessions for identical cached programs (see note),
-    # so a slow re-run must not clobber the representative figure
-    if merged.get("value") is None or result["value"] < merged["value"]:
-        merged.update(result)
+    merged.setdefault("progression_this_round_s", []).append(median)
+    merged.pop("last_run", None)
+    merged.update(result)
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
 

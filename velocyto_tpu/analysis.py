@@ -1030,6 +1030,49 @@ class VelocytoLoom:
         # all consume the device-backed attributes directly
         use_dev_transform = knn_random and "pcs" not in hidim
 
+        embedding = getattr(self, embed)
+        self.embedding = embedding
+        # sklearn semantics (reference :1547-1549, :1631-1635): the query
+        # point is NOT its own neighbor, so the graph holds n_neighbors+1
+        # non-self neighbors per row and an empty diagonal
+        N = embedding.shape[0]
+        nn_k = min(n_neighbors + 1, N - 1)
+        mesh = getattr(self, "mesh", None)
+
+        # start the numpy-parity neighbor sampling NOW on a worker
+        # thread: the C++ MT19937 replay (native.choice_noreplace_rows,
+        # validated bit-for-bit against np.random.choice) releases the
+        # GIL and touches numpy's global RNG only at join, so its host
+        # work at the 20k operating point hides behind the device-side
+        # kNN/permute/transform dispatches below.  Finished row chunks
+        # upload asynchronously while later chunks are still sampling,
+        # pipelining the sampling with its own transfer.
+        sample_thread = None
+        _samp_box: dict = {}
+        if knn_random:
+            p_samp = np.linspace(sampling_probs[0], sampling_probs[1], nn_k)
+            p_samp = p_samp / p_samp.sum()
+            n_samp = int(sampled_fraction * nn_k)
+            samp_dt = np.uint16 if nn_k <= 65536 else np.int32
+            from . import native as _native
+            if _native.available():
+                import threading
+
+                def _samp_work():
+                    chunks = []
+
+                    def on_chunk(lo, hi, rows):
+                        chunks.append(jax.device_put(rows.astype(samp_dt)))
+
+                    _samp_box["r"] = _native.choice_noreplace_rows_chunked(
+                        random_seed, N, nn_k, n_samp, p_samp,
+                        n_chunks=4, on_chunk=on_chunk)
+                    _samp_box["chunks"] = chunks
+
+                sample_thread = threading.Thread(target=_samp_work,
+                                                 daemon=True)
+                sample_thread.start()
+
         if "pcs" in hidim:  # sic (reference :1531)
             hi_dim = np.array(getattr(self, hidim).T[:, :ndims], order="C")
             hi_dim_t = np.array(getattr(self, hidim + "_t").T[:, :ndims],
@@ -1048,9 +1091,22 @@ class VelocytoLoom:
             if calculate_randomized:
                 if use_dev_transform:
                     dS = self._get_dev("delta_S")
-                    perms, signs = _permute_rows_nsign_plan(*dS.shape)
-                    self._set_dev("delta_S_rndm", _permute_apply_dev(
-                        dS, jnp.asarray(perms), jnp.asarray(signs)))
+                    # the plan consumes numpy's global stream, so it must
+                    # run on the main thread here (between the
+                    # numba_random_seed above and the np.random.seed
+                    # below, like the reference); the RNG-free upload +
+                    # apply go to a worker so the main thread can move on
+                    # to joining the neighbor sampling
+                    perms, sign_bits = _permute_rows_nsign_plan(*dS.shape)
+                    import threading
+
+                    def _rndm_work():
+                        self._set_dev("delta_S_rndm", _permute_apply_dev(
+                            dS, jnp.asarray(perms), jnp.asarray(sign_bits)))
+
+                    rndm_thread = threading.Thread(target=_rndm_work,
+                                                   daemon=True)
+                    rndm_thread.start()
                 else:
                     self.delta_S_rndm = np.copy(self.delta_S)
                     permute_rows_nsign(self.delta_S_rndm)
@@ -1058,14 +1114,6 @@ class VelocytoLoom:
                         hi_dim_t_rndm = hi_dim + self.used_delta_t * \
                             self.delta_S_rndm
 
-        embedding = getattr(self, embed)
-        self.embedding = embedding
-        # sklearn semantics (reference :1547-1549, :1631-1635): the query
-        # point is NOT its own neighbor, so the graph holds n_neighbors+1
-        # non-self neighbors per row and an empty diagonal
-        N = embedding.shape[0]
-        nn_k = min(n_neighbors + 1, N - 1)
-        mesh = getattr(self, "mesh", None)
         if knn_random:
             # sampled mode: the (N, nn) neighbor matrix never leaves the
             # device (sklearn-exact ordering via the f64 re-score); only
@@ -1085,7 +1133,6 @@ class VelocytoLoom:
                 _dd, idx_dev = kd.knn_search_dev(embedding,
                                                  min(nn_k + 1, N),
                                                  mesh=mesh)
-            neigh_full = _drop_self_dev(idx_dev, nn_k)
         else:
             if embedding.shape[1] <= 3:
                 # low-dim embeddings (tsne/umap, D=2-3): a host kd-tree
@@ -1128,32 +1175,37 @@ class VelocytoLoom:
         if knn_random:
             np.random.seed(random_seed)
             self.corr_calc = "knn_random"
-            # Pick random neighbours and prune the rest (reference :1551-1572)
-            p = np.linspace(sampling_probs[0], sampling_probs[1], nn_k)
-            p = p / p.sum()
-            n_samp = int(sampled_fraction * nn_k)
-            # the reference's per-cell np.random.choice loop
-            # (analysis.py:1555-1560); the C++ path replays the exact
-            # MT19937 stream (validated bit-for-bit) and then advances
-            # numpy's global state to the matching position.  The drawn
-            # COLUMN POSITIONS are data-independent, so the gather of the
-            # sampled neighbors happens on device.
-            from . import native as _native
-            _nat = _native.choice_noreplace_rows(
-                random_seed, N, nn_k, n_samp, p) \
-                if _native.available() else None
+            # Pick random neighbours and prune the rest (reference
+            # :1551-1572): the reference's per-cell np.random.choice
+            # loop (analysis.py:1555-1560) ran on the worker thread
+            # started above (exact MT19937 replay, validated
+            # bit-for-bit); numpy's global stream is positioned to the
+            # matching state at join.  The drawn COLUMN POSITIONS are
+            # data-independent, so the self-drop and the gather of the
+            # sampled neighbors fuse into one device program.
+            _nat = None
+            if sample_thread is not None:
+                sample_thread.join()
+                _nat = _samp_box.get("r")
             if _nat is not None:
-                sampling_ixs, _draws = _nat
-                np.random.random_sample(_draws)
+                sampling_ixs, _draws, _mt_state = _nat
+                if _mt_state is not None:
+                    np.random.set_state(_mt_state)
+                else:
+                    np.random.random_sample(_draws)
             else:
                 sampling_ixs = np.stack(
                     [np.random.choice(nn_k, size=(n_samp,),
-                                      replace=False, p=p)
+                                      replace=False, p=p_samp)
                      for _ in range(N)], 0)
             self.sampling_ixs = sampling_ixs
-            neigh_ixs = jnp.take_along_axis(
-                neigh_full, jnp.asarray(sampling_ixs.astype(np.int32)),
-                axis=1)
+            chunks = _samp_box.get("chunks")
+            if chunks:
+                samp_dev = chunks[0] if len(chunks) == 1 else \
+                    jnp.concatenate(chunks, axis=0)
+            else:
+                samp_dev = jnp.asarray(sampling_ixs.astype(samp_dt))
+            neigh_ixs = _sample_neighbors_dev(idx_dev, samp_dev, nn_k)
             # embedding_knn materializes lazily from the device indices
             for stale in ("embedding_knn", "_compact_ixs"):
                 self.__dict__.pop(stale, None)
@@ -1170,6 +1222,7 @@ class VelocytoLoom:
                     self.used_delta_t, psc, transform)
                 d_rndm = None
                 if calculate_randomized:
+                    rndm_thread.join()   # upload+apply worker from above
                     d_rndm = _corr_transform_dev(
                         hi32, self._get_dev("delta_S_rndm"),
                         self.used_delta_t, psc, transform)
@@ -2040,24 +2093,36 @@ def _embedding_shift_blocked(emb: jax.Array, P: jax.Array, K: jax.Array,
 # --- device transition-prob support (reference analysis.py:1452-1668) ---
 
 @functools.partial(jax.jit, static_argnames=("nn_k",))
-def _drop_self_dev(idx: jax.Array, nn_k: int) -> jax.Array:
-    """Remove the self column from a (N, cols) neighbor-index matrix
-    (sklearn kneighbors semantics: the query point is not its own
-    neighbor; reference analysis.py:1547-1549) and truncate to nn_k."""
+@functools.partial(jax.jit, static_argnames=("nn_k",))
+def _sample_neighbors_impl(idx: jax.Array, samp: jax.Array, nn_k: int
+                           ) -> jax.Array:
+    """Fused self-drop + sampled-column gather: one device program
+    instead of two separately-dispatched gathers (the (N, nn) stack
+    never materializes on host)."""
     n, cols = idx.shape
     rows = jnp.arange(n, dtype=idx.dtype)[:, None]
     is_self = idx == rows
     first_self = jnp.where(is_self.any(1), jnp.argmax(is_self, 1), cols - 1)
-    j = jnp.arange(cols - 1)
-    src = j[None, :] + (j[None, :] >= first_self[:, None])
-    return jnp.take_along_axis(idx, src, axis=1)[:, :nn_k]
+    # column j of the self-dropped matrix is column j + (j >= first_self)
+    # of idx; composing with the sampled positions skips the (N, cols-1)
+    # intermediate entirely
+    s = samp.astype(jnp.int32)
+    src = s + (s >= first_self[:, None])
+    return jnp.take_along_axis(idx, src, axis=1)
+
+
+def _sample_neighbors_dev(idx: jax.Array, samp: jax.Array, nn_k: int
+                          ) -> jax.Array:
+    return _sample_neighbors_impl(idx, samp, nn_k)
 
 
 def _permute_rows_nsign_plan(g: int, n: int):
     """The row permutations + sign flips permute_rows_nsign would apply,
     computed from the same global np.random draw sequence but without
     touching the data -- so the (G, N) matrix itself can stay on device
-    and only the (G, N) uint16/int32 plan is uploaded."""
+    and only the plan is uploaded: (G, N) uint16/int32 permutations plus
+    bit-packed signs ((G, ceil(N/8)) uint8, 8x smaller than int8 over
+    the thin tunnel link)."""
     perms = np.empty((g, n), np.uint16 if n <= 65536 else np.int32)
     signs = np.empty((g, n), np.int8)
     plmi = np.array([+1, -1])
@@ -2067,14 +2132,19 @@ def _permute_rows_nsign_plan(g: int, n: int):
         np.random.shuffle(p)           # same draw count as shuffling a row
         perms[i] = p
         signs[i] = np.random.choice(plmi, size=n)
-    return perms, signs
+    return perms, np.packbits(signs > 0, axis=1)
 
 
 @jax.jit
 def _permute_apply_dev(delta: jax.Array, perms: jax.Array,
-                       signs: jax.Array) -> jax.Array:
+                       sign_bits: jax.Array) -> jax.Array:
+    n = delta.shape[1]
+    byte = jnp.repeat(sign_bits, 8, axis=1)[:, :n]
+    shift = (7 - (jnp.arange(n) % 8)).astype(jnp.uint8)
+    bit = (byte >> shift[None, :]) & 1
+    sign = (2.0 * bit - 1.0).astype(delta.dtype)
     return jnp.take_along_axis(delta, perms.astype(jnp.int32), axis=1) \
-        * signs.astype(delta.dtype)
+        * sign
 
 
 # --- device velocity chain (reference analysis.py:1321-1439) ---

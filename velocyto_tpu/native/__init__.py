@@ -125,6 +125,26 @@ def _configure(lib) -> None:
         POINTER(ctypes.c_double),       # p (pop,)
         POINTER(c_int64),               # out (n_rows * size,)
     ]
+    if hasattr(lib, "vtpu_choice_noreplace_rows2"):
+        lib.vtpu_choice_noreplace_rows2.restype = c_int64
+        lib.vtpu_choice_noreplace_rows2.argtypes = [
+            ctypes.c_uint32,
+            c_int64, c_int64, c_int64,
+            POINTER(ctypes.c_double),
+            POINTER(c_int64),
+            POINTER(ctypes.c_uint32),   # out MT19937 state (625,) or None
+        ]
+    if hasattr(lib, "vtpu_choice_noreplace_resume"):
+        lib.vtpu_mt19937_seed.restype = None
+        lib.vtpu_mt19937_seed.argtypes = [ctypes.c_uint32,
+                                          POINTER(ctypes.c_uint32)]
+        lib.vtpu_choice_noreplace_resume.restype = c_int64
+        lib.vtpu_choice_noreplace_resume.argtypes = [
+            POINTER(ctypes.c_uint32),   # in/out MT19937 state (625,)
+            c_int64, c_int64, c_int64,
+            POINTER(ctypes.c_double),
+            POINTER(c_int64),
+        ]
 
 
 def available() -> bool:
@@ -228,19 +248,87 @@ def choice_noreplace_rows(seed: int, n_rows: int, pop: int, size: int,
     can fast-forward numpy's global stream to the matching position, or
     None when libvtpu is absent / the sampling cannot terminate (the
     python loop then reproduces numpy's own error)."""
+    r = choice_noreplace_rows_state(seed, n_rows, pop, size, p)
+    if r is None:
+        return None
+    return r[0], r[1]
+
+
+def choice_noreplace_rows_state(seed: int, n_rows: int, pop: int, size: int,
+                                p: np.ndarray
+                                ) -> Optional[Tuple[np.ndarray, int,
+                                                    Optional[tuple]]]:
+    """choice_noreplace_rows + the final MT19937 state as a numpy
+    set_state tuple, so the caller can position the global stream
+    directly instead of re-drawing `draws` doubles (~0.4 s at the 20k
+    operating point)."""
     lib = _load()
     if lib is None:
         return None
-    from ctypes import POINTER, c_int64, c_double
+    from ctypes import POINTER, c_int64, c_double, c_uint32
     p = np.ascontiguousarray(p, dtype=np.float64)
     out = np.empty(n_rows * size, np.int64)
-    draws = lib.vtpu_choice_noreplace_rows(
-        seed & 0xFFFFFFFF, n_rows, pop, size,
-        p.ctypes.data_as(POINTER(c_double)),
-        out.ctypes.data_as(POINTER(c_int64)))
+    has2 = hasattr(lib, "vtpu_choice_noreplace_rows2")
+    state = np.empty(625, np.uint32) if has2 else None
+    if has2:
+        draws = lib.vtpu_choice_noreplace_rows2(
+            seed & 0xFFFFFFFF, n_rows, pop, size,
+            p.ctypes.data_as(POINTER(c_double)),
+            out.ctypes.data_as(POINTER(c_int64)),
+            state.ctypes.data_as(POINTER(c_uint32)))
+    else:
+        draws = lib.vtpu_choice_noreplace_rows(
+            seed & 0xFFFFFFFF, n_rows, pop, size,
+            p.ctypes.data_as(POINTER(c_double)),
+            out.ctypes.data_as(POINTER(c_int64)))
     if draws < 0:
         return None
-    return out.reshape(n_rows, size), int(draws)
+    np_state = None
+    if has2:
+        np_state = ("MT19937", state[:624].copy(), int(state[624]), 0, 0.0)
+    return out.reshape(n_rows, size), int(draws), np_state
+
+
+def choice_noreplace_rows_chunked(seed: int, n_rows: int, pop: int,
+                                  size: int, p: np.ndarray,
+                                  n_chunks: int = 4, on_chunk=None
+                                  ) -> Optional[Tuple[np.ndarray, int,
+                                                      tuple]]:
+    """choice_noreplace_rows_state, produced in row chunks: after each
+    chunk of rows is sampled, ``on_chunk(lo, hi, rows_view)`` fires so
+    the caller can start (async) device uploads while the MT19937 replay
+    continues -- the sampling and the transfer of its output pipeline
+    instead of serializing."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vtpu_choice_noreplace_resume"):
+        r = choice_noreplace_rows_state(seed, n_rows, pop, size, p)
+        if r is None:
+            return None
+        if on_chunk is not None and n_rows:
+            on_chunk(0, n_rows, r[0])
+        return r
+    from ctypes import POINTER, c_int64, c_double, c_uint32
+    p = np.ascontiguousarray(p, dtype=np.float64)
+    state = np.empty(625, np.uint32)
+    lib.vtpu_mt19937_seed(seed & 0xFFFFFFFF,
+                          state.ctypes.data_as(POINTER(c_uint32)))
+    out = np.empty((n_rows, size), np.int64)
+    draws = 0
+    bounds = np.linspace(0, n_rows, max(1, n_chunks) + 1).astype(np.int64)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        d = lib.vtpu_choice_noreplace_resume(
+            state.ctypes.data_as(POINTER(c_uint32)), hi - lo, pop, size,
+            p.ctypes.data_as(POINTER(c_double)),
+            out[lo:].ctypes.data_as(POINTER(c_int64)))
+        if d < 0:
+            return None
+        draws += d
+        if on_chunk is not None:
+            on_chunk(int(lo), int(hi), out[lo:hi])
+    np_state = ("MT19937", state[:624].copy(), int(state[624]), 0, 0.0)
+    return out, int(draws), np_state
 
 
 def balance_knn_loop(dsi: np.ndarray, dist: np.ndarray, lsi: np.ndarray,

@@ -665,38 +665,103 @@ extern "C" {
 // out: (n_rows, size) int64.  Returns the number of doubles consumed
 // (callers re-sync numpy's global stream by drawing that many), or -1
 // if the sampling cannot terminate (fewer than `size` positive weights).
+// out_state (nullable): 625 uint32 slots receiving the final MT19937
+// state (624 key words + position) so callers can np.random.set_state
+// instead of re-drawing `draws` doubles to fast-forward.
+int64_t vtpu_choice_noreplace_rows2(uint32_t seed, int64_t n_rows,
+                                    int64_t pop, int64_t size,
+                                    const double* p_in, int64_t* out,
+                                    uint32_t* out_state);
+
 int64_t vtpu_choice_noreplace_rows(uint32_t seed, int64_t n_rows,
                                    int64_t pop, int64_t size,
                                    const double* p_in, int64_t* out) {
-    int64_t positive = 0;
-    for (int64_t j = 0; j < pop; ++j) positive += p_in[j] > 0;
-    if (positive < size) return -1;
-    Mt19937 rng(seed);
-    std::vector<double> p(pop), cdf(pop), x((size_t)size);
-    std::vector<unsigned char> seen((size_t)pop);
+    return vtpu_choice_noreplace_rows2(seed, n_rows, pop, size, p_in, out,
+                                       nullptr);
+}
+
+}  // extern "C"
+
+namespace {
+
+// Core of the numpy-parity sampler.  Bit-identical to the original
+// transcription of numpy's rejection loop, with three pure-speed
+// changes that cannot alter results: the round-1 cdf (cumsum(p)/tot
+// with nothing zeroed yet) is identical for every row so it is
+// computed once by the caller; the per-row p reset restores only the
+// entries this row zeroed (selective restore == memcpy, row touches
+// <= size entries); the redundant per-row seen memset is dropped
+// (seen is already cleared entry-by-entry at each row end).
+int64_t choice_rows_core(Mt19937& rng, int64_t n_rows, int64_t pop,
+                         int64_t size, const double* p_in,
+                         const double* cdf0, int64_t* out) {
+    std::vector<double> p(p_in, p_in + pop), cdf(pop), x((size_t)size);
+    std::vector<unsigned char> seen((size_t)pop, 0);
+    // bucket index over the shared round-1 cdf: ~79% of all draws hit
+    // round 1, and a guided scan (avg span ~pop/NB entries) replaces
+    // the 12-probe binary search for them.  Exact: the scan start is
+    // validated against cdf0 and falls back to binary search on the
+    // (floating-rounding) edge where the bucket estimate is off.
+    constexpr int64_t NB = 4096;
+    std::vector<int32_t> bstart((size_t)NB);
+    {
+        int64_t j = 0;
+        for (int64_t b = 0; b < NB; ++b) {
+            double thr = (double)b / (double)NB;
+            while (j < pop && cdf0[j] <= thr) ++j;
+            bstart[(size_t)b] = (int32_t)j;
+        }
+    }
     int64_t draws = 0;
     for (int64_t r = 0; r < n_rows; ++r) {
-        std::memcpy(p.data(), p_in, sizeof(double) * (size_t)pop);
-        std::memset(seen.data(), 0, (size_t)pop);
         int64_t* found = out + r * size;
         int64_t n_uniq = 0;
+        bool first_round = true;
         while (n_uniq < size) {
             int64_t m = size - n_uniq;
             for (int64_t i = 0; i < m; ++i) x[(size_t)i] = rng.next_double();
             draws += m;
-            if (n_uniq > 0)
-                for (int64_t i = 0; i < n_uniq; ++i) p[(size_t)found[i]] = 0.0;
+            const double* cdf_use;
+            if (first_round) {
+                first_round = false;
+                for (int64_t i = 0; i < m; ++i) {
+                    // searchsorted side='right' via the bucket index
+                    double xv = x[(size_t)i];
+                    int64_t b = (int64_t)(xv * (double)NB);
+                    if (b < 0) b = 0;
+                    if (b >= NB) b = NB - 1;
+                    int64_t lo = bstart[(size_t)b];
+                    if (lo > 0 && cdf0[(size_t)(lo - 1)] > xv) {
+                        int64_t l2 = 0, hi = lo;
+                        while (l2 < hi) {
+                            int64_t mid = (l2 + hi) >> 1;
+                            if (cdf0[(size_t)mid] <= xv) l2 = mid + 1;
+                            else hi = mid;
+                        }
+                        lo = l2;
+                    } else {
+                        while (lo < pop && cdf0[(size_t)lo] <= xv) ++lo;
+                    }
+                    if (lo < pop && !seen[(size_t)lo]) {
+                        seen[(size_t)lo] = 1;
+                        found[n_uniq++] = lo;
+                    }
+                }
+                continue;
+            }
+            for (int64_t i = 0; i < n_uniq; ++i) p[(size_t)found[i]] = 0.0;
             double acc = 0.0;
             for (int64_t j = 0; j < pop; ++j) { acc += p[(size_t)j]; cdf[(size_t)j] = acc; }
             double tot = cdf[(size_t)pop - 1];
             for (int64_t j = 0; j < pop; ++j) cdf[(size_t)j] /= tot;
+            cdf_use = cdf.data();
             for (int64_t i = 0; i < m; ++i) {
                 // searchsorted side='right': first index with cdf[idx] > x
                 double xv = x[(size_t)i];
                 int64_t lo = 0, hi = pop;
                 while (lo < hi) {
                     int64_t mid = (lo + hi) >> 1;
-                    if (cdf[(size_t)mid] <= xv) lo = mid + 1; else hi = mid;
+                    if (cdf_use[(size_t)mid] <= xv) lo = mid + 1; else hi = mid;
                 }
                 // dedup: keep first occurrences in draw order (numpy's
                 // unique(return_index) + sorted indices + take)
@@ -706,8 +771,70 @@ int64_t vtpu_choice_noreplace_rows(uint32_t seed, int64_t n_rows,
                 }
             }
         }
-        for (int64_t i = 0; i < n_uniq; ++i) seen[(size_t)found[i]] = 0;
+        for (int64_t i = 0; i < n_uniq; ++i) {
+            seen[(size_t)found[i]] = 0;
+            p[(size_t)found[i]] = p_in[(size_t)found[i]];
+        }
     }
+    return draws;
+}
+
+void make_cdf0(const double* p_in, int64_t pop, std::vector<double>& cdf0) {
+    cdf0.resize((size_t)pop);
+    double acc = 0.0;
+    for (int64_t j = 0; j < pop; ++j) { acc += p_in[j]; cdf0[(size_t)j] = acc; }
+    double tot = cdf0[(size_t)pop - 1];
+    for (int64_t j = 0; j < pop; ++j) cdf0[(size_t)j] /= tot;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t vtpu_choice_noreplace_rows2(uint32_t seed, int64_t n_rows,
+                                    int64_t pop, int64_t size,
+                                    const double* p_in, int64_t* out,
+                                    uint32_t* out_state) {
+    int64_t positive = 0;
+    for (int64_t j = 0; j < pop; ++j) positive += p_in[j] > 0;
+    if (positive < size) return -1;
+    Mt19937 rng(seed);
+    std::vector<double> cdf0;
+    make_cdf0(p_in, pop, cdf0);
+    int64_t draws = choice_rows_core(rng, n_rows, pop, size, p_in,
+                                     cdf0.data(), out);
+    if (out_state) {
+        for (int i = 0; i < 624; ++i) out_state[i] = rng.mt[i];
+        out_state[624] = (uint32_t)rng.mti;
+    }
+    return draws;
+}
+
+// Resumable variant for chunked row production: state625 (624 MT19937
+// key words + position) is read, advanced, and written back, so a
+// caller can interleave sampling with uploads of finished row chunks.
+// Initialize the state with vtpu_mt19937_seed.
+void vtpu_mt19937_seed(uint32_t seed, uint32_t* state625) {
+    Mt19937 rng(seed);
+    for (int i = 0; i < 624; ++i) state625[i] = rng.mt[i];
+    state625[624] = (uint32_t)rng.mti;
+}
+
+int64_t vtpu_choice_noreplace_resume(uint32_t* state625, int64_t n_rows,
+                                     int64_t pop, int64_t size,
+                                     const double* p_in, int64_t* out) {
+    int64_t positive = 0;
+    for (int64_t j = 0; j < pop; ++j) positive += p_in[j] > 0;
+    if (positive < size) return -1;
+    Mt19937 rng(0);
+    for (int i = 0; i < 624; ++i) rng.mt[i] = state625[i];
+    rng.mti = (int)state625[624];
+    std::vector<double> cdf0;
+    make_cdf0(p_in, pop, cdf0);
+    int64_t draws = choice_rows_core(rng, n_rows, pop, size, p_in,
+                                     cdf0.data(), out);
+    for (int i = 0; i < 624; ++i) state625[i] = rng.mt[i];
+    state625[624] = (uint32_t)rng.mti;
     return draws;
 }
 

