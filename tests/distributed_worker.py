@@ -7,8 +7,14 @@ and participates in collectives that CROSS the process boundary:
     (velocyto_tpu/parallel/counts.py)
   * the sharded partial colDeltaCor kernel
     (velocyto_tpu/ops/coldeltacor.py make_partial_sharded)
+  * the RING-scheduled partial colDeltaCor -- ppermute expression-block
+    rotation across the process boundary
+    (velocyto_tpu/ops/coldeltacor.py make_partial_ring)
+  * make_sharded_velocity_step -- the full jit'd training-step analogue
+    with (GENES, CELLS) shardings, whose gene- and cell-axis reductions
+    cross the boundary (velocyto_tpu/models/velocity.py)
 
-Both results are allgathered and written to a JSON file per process; the
+All results are allgathered and written to a JSON file per process; the
 pytest driver (test_distributed.py) asserts they equal the
 single-process oracle.  Run as:
 
@@ -23,9 +29,12 @@ def main() -> None:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, outfile = sys.argv[3], sys.argv[4]
 
+    # the production entry point for multi-host runs (parallel/mesh.py),
+    # not a raw jax.distributed.initialize
+    from velocyto_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
     import jax
-    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                               num_processes=nproc, process_id=pid)
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -66,6 +75,25 @@ def main() -> None:
               jax.device_put(ixs, rows_sh))
     corr_np = np.asarray(multihost_utils.process_allgather(corr, tiled=True))
 
+    # --- ring-scheduled partial colDeltaCor: the ppermute expression
+    # rotation crosses the process boundary on every ring step ---
+    from velocyto_tpu.ops.coldeltacor import col_delta_cor_partial_ring_dev
+    ring = col_delta_cor_partial_ring_dev(mesh, emat, dmat, ixs,
+                                          "sqrt", 1e-10)
+    ring_np = np.asarray(multihost_utils.process_allgather(ring, tiled=True))
+
+    # --- the full sharded velocity step (GENES x CELLS shardings) ---
+    from velocyto_tpu.models.velocity import (make_sharded_velocity_step,
+                                              example_inputs)
+    S, U, nbr_idx, nbr_w, emb, sample_ixs = example_inputs(
+        g=32, n=64, k=8, nn=16, seed=3)
+    step = make_sharded_velocity_step(mesh)
+    outs = step(S, U, nbr_idx, nbr_w, emb, sample_ixs)
+    gammas_np = np.asarray(multihost_utils.process_allgather(
+        outs.gammas, tiled=True))
+    dembed_np = np.asarray(multihost_utils.process_allgather(
+        outs.delta_embedding, tiled=True))
+
     with open(outfile, "w") as f:
         json.dump({
             "process_count": jax.process_count(),
@@ -74,6 +102,9 @@ def main() -> None:
             "merged_sum": float(merged_np.sum()),
             "merged": merged_np.tolist(),
             "corr": corr_np.tolist(),
+            "ring": ring_np.tolist(),
+            "vstep_gammas": gammas_np.tolist(),
+            "vstep_delta_embedding": dembed_np.tolist(),
         }, f)
     jax.distributed.shutdown()
 

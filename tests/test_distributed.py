@@ -2,13 +2,17 @@
 
 Proves the one layer no other test exercises: collectives CROSSING a
 process boundary.  Two subprocesses each own 4 virtual CPU devices of an
-8-device mesh and run the counting-merge psum and the sharded partial
-colDeltaCor kernel; results must equal the single-process oracle
-computed in this process.
+8-device mesh and run, across that boundary: the counting-merge psum,
+the sharded partial colDeltaCor kernel, the RING-scheduled partial
+colDeltaCor (ppermute expression-block rotation -- the collective most
+prone to silent regression), and the full sharded velocity step
+(GENES x CELLS shardings with cross-axis psum reductions).  Results
+must equal the single-process oracles computed in this process.
 
-SURVEY.md §5 "Distributed communication backend"; the same
-initialize/mesh path drives real multi-host TPU slices
-(parallel/mesh.py initialize_distributed).
+The workers initialize through parallel/mesh.py initialize_distributed
+-- the same entry point a real multi-host TPU deployment uses.
+
+SURVEY.md §5 "Distributed communication backend".
 """
 import json
 import os
@@ -85,12 +89,34 @@ def test_two_process_collectives(tmp_path):
     expected_corr = col_delta_cor_partial_compact(emat, dmat, ixs,
                                                   "sqrt", 1e-10)
 
+    # single-process oracles for the ring kernel and the velocity step
+    # (CPU, same f32 arithmetic)
+    from velocyto_tpu.models.velocity import velocity_step_jit, example_inputs
+    vs_in = example_inputs(g=32, n=64, k=8, nn=16, seed=3)
+    vs_out = velocity_step_jit(*vs_in)
+    expected_gammas = np.asarray(vs_out.gammas)
+    expected_dembed = np.asarray(vs_out.delta_embedding)
+
     for r in results:
         merged = np.asarray(r["merged"], dtype=np.float32)
         np.testing.assert_array_equal(merged, expected_merge)
         corr = np.asarray(r["corr"], dtype=np.float32)
         np.testing.assert_allclose(corr, expected_corr, rtol=2e-5,
                                    atol=2e-6)
+        # ring schedule: ppermute crossed the process boundary on every
+        # rotation step; result must match the compact oracle
+        ring = np.asarray(r["ring"], dtype=np.float32)
+        np.testing.assert_allclose(ring, expected_corr, rtol=2e-5,
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(r["vstep_gammas"]),
+                                   expected_gammas, rtol=2e-5, atol=2e-6)
+        # sigma_corr softmax amplifies the f32 resummation differences
+        # of the sharded reductions ~20x (same tolerance class as
+        # test_golden_mesh's delta_embedding check)
+        np.testing.assert_allclose(
+            np.asarray(r["vstep_delta_embedding"]), expected_dembed,
+            rtol=1e-3, atol=2e-4)
     # both processes saw the identical global result
-    np.testing.assert_array_equal(np.asarray(results[0]["corr"]),
-                                  np.asarray(results[1]["corr"]))
+    for key in ("corr", "ring", "vstep_gammas", "vstep_delta_embedding"):
+        np.testing.assert_array_equal(np.asarray(results[0][key]),
+                                      np.asarray(results[1][key]))
