@@ -270,6 +270,47 @@ def build(workdir: str, config: str = "mid"):
     return paths
 
 
+def build_percell(workdir: str, config: str = "mid"):
+    """SmartSeq2 / onefilepercell variant of the fixture: the same
+    deterministic read pool split into one position-sorted BAM per cell
+    (reference run_smartseq2 semantics: each input file IS a cell, the
+    barcode is the bam path, UMIs are placeholders;
+    reference commands/run_smartseq2.py:70-74, counter.py:214-215).
+    Returns (gtf_path, [bam paths] sorted by cell index)."""
+    from velocyto_tpu.counting import bamio
+
+    cfg = CONFIGS[config]
+    tagp = f"{config}_{cfg['n_genes']}_{cfg['n_reads']}_{cfg['n_cells']}"
+    celldir = os.path.join(workdir, f"real_{tagp}_percell")
+    gtf_path = os.path.join(workdir, f"real_{tagp}.gtf")
+    paths = [os.path.join(celldir, f"cell{c:04d}.bam")
+             for c in range(cfg["n_cells"])]
+    if os.path.exists(gtf_path) and all(os.path.exists(p) for p in paths):
+        return gtf_path, paths
+    build(workdir, config)      # writes the gtf + shared fixture
+
+    rng = np.random.RandomState(cfg["seed"])
+    _gtf_lines, _mask_lines, genes = build_annotation(rng, cfg["n_genes"])
+    max_end = {}
+    for chrom, _strand, _isos, master in genes:
+        max_end[chrom] = max(max_end.get(chrom, 0), master[-1][1])
+    refs = [(bam_name, max_end.get(bam_name, 1000) + 10_000)
+            for _gtf_name, bam_name in CHROMS]
+    ref_of = {name: i for i, (name, _l) in enumerate(refs)}
+    recs = synthesize_reads(rng, genes, cfg["n_reads"], cfg["n_cells"],
+                            ref_of)
+
+    os.makedirs(celldir, exist_ok=True)
+    by_cell: Dict[str, list] = {}
+    for r in recs:
+        by_cell.setdefault(r.tags["CB"].split("-")[0], []).append(r)
+    for c in range(cfg["n_cells"]):
+        cell_recs = by_cell.get(_bc(c), [])
+        cell_recs.sort(key=lambda r: (r.ref_id, r.pos))
+        bamio.write_bam(paths[c], refs, cell_recs)
+    return gtf_path, paths
+
+
 def matrix_digest(layers: Dict[str, np.ndarray], cells: List[str]) -> Dict:
     """Stable digests of a counting result: per-layer sha256 over C-order
     uint32 bytes with columns sorted by cell id, plus sums."""

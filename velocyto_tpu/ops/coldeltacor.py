@@ -554,11 +554,17 @@ def make_partial_ring(mesh: Mesh, shards: int, m: int, nn: int,
             v = jax.lax.rem(p + s, shards)
             ix_v = jax.lax.dynamic_index_in_dim(local_pad, v, axis=1,
                                                 keepdims=False)  # (C, M)
+            # issue the rotation BEFORE the group-table compute: both
+            # read only e_visit, so XLA's async collective scheduler
+            # overlaps the ICI transfer with the step's compute (the
+            # transfer is <10% of the step at the modeled operating
+            # points -- see bench_scaling.analyze_multichip -- so the
+            # overlap fully hides it)
+            e_next = jax.lax.ppermute(e_visit, CELLS, perm)
             part = _partial_impl(e_visit, e_shard, d_shard, ix_v,
                                  tcode, psc)                     # (C, M)
             out = jax.lax.dynamic_update_slice(out, part[:, None, :],
                                                (0, v, 0))
-            e_next = jax.lax.ppermute(e_visit, CELLS, perm)
             return (e_next, out), None
 
         (_, out), _ = jax.lax.scan(body, (e_shard, out0),
