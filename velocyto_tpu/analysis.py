@@ -649,8 +649,13 @@ class VelocytoLoom:
                        n_jobs: int = 8) -> None:
         """kNN smoothing of S_sz/U_sz -> Sx/Ux (reference :933-1023).
 
-        kNN search runs on TPU; greedy balancing on host; the smoothing
-        convolution is the gather/einsum TPU kernel.
+        Fully device-resident (ops.knn_device): blocked-MXU candidate
+        search, exact f64 re-score, greedy balancing as a speculative
+        batched while_loop (bit-equal to the reference numba loop), and
+        the smoothing convolution as blocked scatter-to-dense + MXU
+        matmul.  Sx/Ux stay on device between stages; the host-facing
+        .knn / .knn_smoothing_w csr views materialize lazily on first
+        access.
         """
         N = self.S.shape[1]
         if k is None:
@@ -1735,34 +1740,38 @@ class VelocytoLoom:
     # ------------------------------------------------------------------
 
     def plot_fractions(self, save2file: Optional[str] = None) -> None:
-        """Barplot of spliced/unspliced abundance (reference :96-135)."""
+        """Per-sample barplot of the spliced/ambiguous/unspliced molecule
+        fractions (same figure contract as reference plot_fractions
+        :96-135: grouped bars per sample with std error bars)."""
         plt = _plt()
+        if "SampleID" in self.ca:
+            labels = np.asarray(self.ca["SampleID"])
+        else:
+            # sample prefix of the "sample:barcode" CellID convention
+            labels = np.array([c.split(":")[0] for c in self.ca["CellID"]])
+        samples, sample_ix = np.unique(labels, return_inverse=True)
+        per_cell = np.stack([m.sum(0) for m in (self.S, self.A, self.U)])
+        frac = per_cell / per_cell.sum(0, keepdims=True)     # (3, N)
+
         plt.figure(figsize=(3.2, 5))
-        try:
-            chips, chip_ix = np.unique(self.ca["SampleID"], return_inverse=1)
-        except KeyError:
-            chips, chip_ix = np.unique([i.split(":")[0]
-                                        for i in self.ca["CellID"]],
-                                       return_inverse=1)
-        n = len(chips)
-        for i in np.unique(chip_ix):
-            tot_mol_cell_submatrixes = [X[:, chip_ix == i].sum(0)
-                                        for X in [self.S, self.A, self.U]]
-            total = np.sum(tot_mol_cell_submatrixes, 0)
-            _mean = [np.mean(j / total) for j in tot_mol_cell_submatrixes]
-            _std = [np.std(j / total) for j in tot_mol_cell_submatrixes]
-            plt.ylabel("Fraction")
-            plt.bar(np.linspace(-0.2, 0.2, n)[i] + np.arange(3), _mean,
-                    0.5 / (n * 1.05), label=chips[i])
-            plt.errorbar(np.linspace(-0.2, 0.2, n)[i] + np.arange(3), _mean,
-                         _std, c="k", fmt="none", lw=1, capsize=2)
-            plt.gca().spines['right'].set_visible(False)
-            plt.gca().spines['top'].set_visible(False)
-            plt.gca().yaxis.set_ticks_position('left')
-            plt.gca().xaxis.set_ticks_position('bottom')
-            plt.gca().spines['left'].set_bounds(0, 0.8)
-            plt.legend()
-        plt.xticks(np.arange(3), ["spliced", "ambiguous", "unspliced"])
+        ax = plt.gca()
+        xs = np.arange(3)
+        offsets = np.linspace(-0.2, 0.2, len(samples))
+        width = 0.5 / (len(samples) * 1.05)
+        for i, name in enumerate(samples):
+            sel = frac[:, sample_ix == i]
+            ax.bar(xs + offsets[i], sel.mean(1), width, label=name)
+            ax.errorbar(xs + offsets[i], sel.mean(1), sel.std(1), c="k",
+                        fmt="none", lw=1, capsize=2)
+        ax.set_ylabel("Fraction")
+        ax.set_xticks(xs)
+        ax.set_xticklabels(["spliced", "ambiguous", "unspliced"])
+        for side in ("right", "top"):
+            ax.spines[side].set_visible(False)
+        ax.yaxis.set_ticks_position("left")
+        ax.xaxis.set_ticks_position("bottom")
+        ax.spines["left"].set_bounds(0, 0.8)
+        ax.legend()
         plt.tight_layout()
         if save2file:
             plt.savefig(save2file, bbox_inches="tight")
@@ -1959,68 +1968,63 @@ class VelocytoLoom:
                       self.delta_embedding[cell_ix, 1],
                       head_width=head_width, length_includes_head=True)
 
-    def plot_velocity_as_color(self, gene_name: Optional[str] = None,
-                               cmap: Any = None, gs: Any = None,
-                               which_tsne: str = "ts", **kwargs: Any) -> None:
-        """Velocity as a diverging color map (reference :2214-2262)."""
+    def _embedding_gene_scatter(self, unit_values: np.ndarray, cmap: Any,
+                                gs: Any, which_tsne: str, title: str,
+                                **kwargs: Any) -> None:
+        """One styled embedding scatter colored by per-cell values in
+        [0, 1] (shared body of the *_as_color plots)."""
         plt = _plt()
-        if cmap is None:
-            cmap = plt.cm.RdBu_r
-        ix = np.where(self.ra["Gene"] == gene_name)[0][0]
-        kwarg_plot = {"alpha": 0.5, "s": 8, "edgecolor": "0.8", "lw": 0.15}
-        kwarg_plot.update(kwargs)
+        opts = {"alpha": 0.5, "s": 8, "edgecolor": "0.8", "lw": 0.15}
+        opts.update(kwargs)
         if gs is None:
             plt.figure(figsize=(10, 10))
             plt.subplot(111)
         else:
             plt.subplot(gs)
-        tsne = getattr(self, which_tsne)
+        emb = getattr(self, which_tsne)
+        scatter_viz(emb[:, 0], emb[:, 1], c=cmap(unit_values), **opts)
+        plt.axis("off")
+        plt.title(title)
+
+    def plot_velocity_as_color(self, gene_name: Optional[str] = None,
+                               cmap: Any = None, gs: Any = None,
+                               which_tsne: str = "ts", **kwargs: Any) -> None:
+        """One gene's extrapolated shift on the embedding, as a
+        diverging color map centered on zero and clipped at the 1/99th
+        percentiles (same figure contract as reference :2214-2262,
+        including the flat-velocity early-out)."""
+        plt = _plt()
+        ix = np.where(self.ra["Gene"] == gene_name)[0][0]
         if self.which_S_for_pred == "Sx_sz":
-            tmp_colorandum = self.Sx_sz_t[ix, :] - self.Sx_sz[ix, :]
+            shift = self.Sx_sz_t[ix, :] - self.Sx_sz[ix, :]
         else:
-            tmp_colorandum = self.Sx_t[ix, :] - self.Sx[ix, :]
-        if (np.abs(tmp_colorandum) > 0.00005).sum() < 10:
+            shift = self.Sx_t[ix, :] - self.Sx[ix, :]
+        if (np.abs(shift) > 5e-5).sum() < 10:
             print("S vs U scatterplot it is flat")
             return
-        limit = np.max(np.abs(np.percentile(tmp_colorandum, [1, 99])))
-        tmp_colorandum = tmp_colorandum + limit
-        tmp_colorandum = tmp_colorandum / (2 * limit)
-        tmp_colorandum = np.clip(tmp_colorandum, 0, 1)
-        scatter_viz(tsne[:, 0], tsne[:, 1], c=cmap(tmp_colorandum),
-                    **kwarg_plot)
-        plt.axis("off")
-        plt.title(f"{gene_name}")
+        limit = np.max(np.abs(np.percentile(shift, [1, 99])))
+        vals = np.clip((shift + limit) / (2 * limit), 0, 1)
+        self._embedding_gene_scatter(vals, cmap or plt.cm.RdBu_r, gs,
+                                     which_tsne, f"{gene_name}", **kwargs)
 
     def plot_expression_as_color(self, gene_name: Optional[str] = None,
                                  imputed: bool = True, cmap: Any = None,
                                  gs: Any = None, which_tsne: str = "ts",
                                  **kwargs: Any) -> None:
-        """Expression as a sequential color map (reference :2264-2312)."""
+        """One gene's (smoothed or raw size-normalized) expression on
+        the embedding, as a sequential map normalized to its 99th
+        percentile (same figure contract as reference :2264-2312)."""
         plt = _plt()
-        if cmap is None:
-            cmap = plt.cm.Greens
         ix = np.where(self.ra["Gene"] == gene_name)[0][0]
-        kwarg_plot = {"alpha": 0.5, "s": 8, "edgecolor": "0.8", "lw": 0.15}
-        kwarg_plot.update(kwargs)
-        if gs is None:
-            plt.figure(figsize=(10, 10))
-            plt.subplot(111)
+        if not imputed:
+            expr = self.S_sz[ix, :]
+        elif self.which_S_for_pred == "Sx_sz":
+            expr = self.Sx_sz[ix, :]
         else:
-            plt.subplot(gs)
-        tsne = getattr(self, which_tsne)
-        if imputed:
-            if self.which_S_for_pred == "Sx_sz":
-                tmp_colorandum = self.Sx_sz[ix, :]
-            else:
-                tmp_colorandum = self.Sx[ix, :]
-        else:
-            tmp_colorandum = self.S_sz[ix, :]
-        tmp_colorandum = tmp_colorandum / np.percentile(tmp_colorandum, 99)
-        tmp_colorandum = np.clip(tmp_colorandum, 0, 1)
-        scatter_viz(tsne[:, 0], tsne[:, 1], c=cmap(tmp_colorandum),
-                    **kwarg_plot)
-        plt.axis("off")
-        plt.title(f"{gene_name}")
+            expr = self.Sx[ix, :]
+        vals = np.clip(expr / np.percentile(expr, 99), 0, 1)
+        self._embedding_gene_scatter(vals, cmap or plt.cm.Greens, gs,
+                                     which_tsne, f"{gene_name}", **kwargs)
 
     def reload_raw(self, substitute: bool = False) -> None:
         """Reload pristine matrices from the loom (reference :2314-2342):

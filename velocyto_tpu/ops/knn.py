@@ -7,11 +7,13 @@ replaces the reference's sklearn NearestNeighbors calls
 (reference: velocyto/neighbors.py:226-244,363-376).
 
 The balanced-kNN *balancing* step is a greedy, order-dependent algorithm
-(reference: velocyto/neighbors.py:11-140, numba).  It is sequential by
-construction (the degree cap `l` is mutated node by node), so it stays on
-the host; the numpy implementation below reproduces the reference
-semantics exactly, including tie-breaking (mergesort argsort reversed)
-and the self-fill behavior when the sight is exhausted.
+(reference: velocyto/neighbors.py:11-140, numba).  This module holds the
+HOST implementations (C++ via native/, numpy fallback), used when the
+caller wants host-resident results; the device-resident pipeline uses
+the bit-equal speculative batched scan in ops/knn_device.py instead.
+The numpy implementation below reproduces the reference semantics
+exactly, including tie-breaking (mergesort argsort reversed) and the
+self-fill behavior when the sight is exhausted.
 """
 from __future__ import annotations
 

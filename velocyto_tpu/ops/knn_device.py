@@ -14,10 +14,10 @@ module keeps the whole chain on device:
        software-emulated at ~1e-15 relative accuracy, on CPU it is
        native IEEE)  [replaces the host numpy re-score]
     -> lexicographic (distance, index) ordering  [sklearn tie-breaks]
-    -> greedy degree-capped balancing as a lax.scan
-       (reference velocyto/neighbors.py:11-140 -- decisions are pure
-       integer logic, so the scan is bit-equal to the numba loop given
-       the same candidate ordering)
+    -> greedy degree-capped balancing as a speculative batched
+       while_loop (reference velocyto/neighbors.py:11-140 -- decisions
+       are pure integer logic, so the result is bit-equal to the numba
+       loop given the same candidate ordering; see _balance_scan_impl)
     -> compact (N, K) neighbor-index/weight arrays for the smoothing
        convolution (reference velocyto/analysis.py:1006-1016)
 
@@ -168,10 +168,11 @@ def _balance_plan(n: int, sight: int, k: int) -> Tuple[int, int]:
 
     T bounds how deep into each sight row the batched path looks.  The
     greedy loop stops at the k-th acceptance, so a row only needs its
-    first k + (#rejections) candidates; measured on the bench operating
-    point (50k cells, k=500, sight=3000, maxl=1500) the 99.9th-pct
-    examined depth is ~1.3k and deeper rows are rare -- those are
-    detected exactly and redone at full width, so T only affects speed.
+    first k + (#rejections) candidates; measured at the bench operating
+    shape (k=500, sight=3000, maxl=1500; 12k-cell anisotropic-gaussian
+    instrumentation run) the max examined depth was 660 with the 99.9th
+    percentile at 640.  Deeper rows are detected exactly and redone at
+    full width, so T only affects speed, never results.
     B trades batch parallelism against re-speculation waste: in the
     saturated phase the window advances ~one cap-crossing gap (~13 rows
     measured) per iteration regardless of B.
