@@ -212,7 +212,7 @@ def main():
                 merged = json.load(f)
         except Exception:
             merged = {}
-    merged.setdefault("progression_this_round_s", []).append(median)
+    merged.setdefault("progression_rounds_s", {}).setdefault("r4_runs", []).append(median)
     merged.pop("last_run", None)
     merged.update(result)
     with open(path, "w") as f:
