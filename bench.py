@@ -133,6 +133,26 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     tpu_cells_per_sec = CELLS / dt
 
+    # same kernel with a 20k-cell (160 MB) gather source: the achieved
+    # gather bandwidth drops ~1.75x vs the 24 MB source above (measured
+    # 341 -> ~197 GB/s; per-row index sorting does NOT recover it, so
+    # it is a working-set characteristic of the gather path, not a
+    # locality artifact).  Reported so the 20k pipeline's kernel time
+    # is explained by the bench artifact itself.
+    n_big = 20000
+    rng_b = np.random.RandomState(1)
+    e_big = jnp.asarray(rng_b.gamma(2., 2., (n_big, GENES)).astype(
+        np.float32))
+    d_big = jnp.asarray(rng_b.randn(n_big, GENES).astype(np.float32))
+    ixs_big = jnp.asarray(np.stack(
+        [rng_b.choice(n_big, NN, replace=False)
+         for _ in range(n_big)]).astype(np.int32))
+    _ = float(repeated(e_big, d_big, ixs_big, 1))
+    t0 = time.perf_counter()
+    _ = float(repeated(e_big, d_big, ixs_big, 1))
+    dt_big = time.perf_counter() - t0
+    big_gbps = n_big * NN * GENES * 4 / dt_big / 1e9
+
     # --- dense Pallas kernel: achieved elementwise TFLOP/s vs the
     #     measured VPU ceiling ------------------------------------------
     from velocyto_tpu.ops.coldeltacor import (_col_delta_cor_dense_pallas,
@@ -233,6 +253,8 @@ def main():
         "baseline_cells_per_sec": round(base, 2),
         "hbm_gbps_achieved": round(achieved_gbps, 1),
         "hbm_roofline_fraction": roofline,
+        "large_n_cells_per_sec": round(n_big / dt_big, 1),
+        "large_n_gather_gbps": round(big_gbps, 1),
         "dense_pallas_cells_per_sec": round(dense_cells_per_sec, 1),
         "dense_pallas_tflops_f32": round(dense_tflops, 2),
         "vpu_fma_ceiling_tflops_f32": round(vpu_tflops, 2),
