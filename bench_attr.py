@@ -21,32 +21,7 @@ import numpy as np
 os.environ.setdefault("VTPU_BENCH", "1")
 
 
-def sync(x):
-    import jax
-    jax.block_until_ready(x)
-    # the axon tunnel can report ready early; force an 8-byte pull
-    import jax.numpy as jnp
-    float(jnp.sum(x if x.ndim else x[None]).astype(jnp.float32))
-    return x
-
-
-def mxu_probe():
-    """D=50 distance-matmul fingerprint (the knn candidate inner op)."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def prob(a, b):
-        return jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
-
-    a = jnp.ones((2048, 50), jnp.float32)
-    b = jnp.ones((8192, 50), jnp.float32)
-    sync(prob(a, b))  # warm
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = prob(a, b)
-    sync(out)
-    return (time.perf_counter() - t0) / 20
+from bench_common import mxu_probe, sync  # noqa: E402
 
 
 def timed(name, fn, out, n=1):
@@ -84,7 +59,7 @@ def attr_transition(n=20000, g=2000, nn=3500, frac=0.5):
 
     print("# transition_prob attribution", flush=True)
     p0 = mxu_probe()
-    print(f"#   probe_before: {p0*1e3:.2f}ms", flush=True)
+    print(f"#   probe_before: {p0:.2f}ms", flush=True)
 
     idx_dev = timed("embedding_knn", lambda: kd.knn_search_dev(
         emb, min(nn_k + 1, n))[1], out)
@@ -98,7 +73,7 @@ def attr_transition(n=20000, g=2000, nn=3500, frac=0.5):
     samp = timed("rng_sampling(native)", draw, out)
     samp_dev = jnp.asarray(samp.astype(np.uint16))
     neigh_ixs = timed("sample_gather(fused)", lambda: _sample_neighbors_dev(
-        idx_dev, samp_dev, nn_k), out)
+        idx_dev, samp_dev), out)
 
     perms, signs = _permute_rows_nsign_plan(g, n)
     dS_r = timed("permute_rndm", lambda: _permute_apply_dev(
@@ -112,8 +87,8 @@ def attr_transition(n=20000, g=2000, nn=3500, frac=0.5):
     timed("corr_kernel_rndm", lambda: col_delta_cor_partial_compact_dev(
         Sx, d_rndm, neigh_ixs, "sqrt", 1e-10), out)
     p1 = mxu_probe()
-    print(f"#   probe_after: {p1*1e3:.2f}ms", flush=True)
-    out["probe_ms"] = [round(p0 * 1e3, 2), round(p1 * 1e3, 2)]
+    print(f"#   probe_after: {p1:.2f}ms", flush=True)
+    out["probe_ms"] = [round(p0, 2), round(p1, 2)]
     out["sum"] = round(sum(v for k, v in out.items()
                            if isinstance(v, float)), 2)
     return out
@@ -134,7 +109,7 @@ def attr_knn50k(n=50000, d=50, k=500, sight=3000, maxl=1500):
 
     print(f"# knn50k attribution (n={n}, sight={sight}, k={k})", flush=True)
     p0 = mxu_probe()
-    print(f"#   probe_before: {p0*1e3:.2f}ms", flush=True)
+    print(f"#   probe_before: {p0:.2f}ms", flush=True)
 
     cand = timed("candidate_sort", lambda: _knn_search_impl(
         jnp.asarray(x), k2, blk, "euclidean", use_sort)[1], out)
@@ -149,8 +124,8 @@ def attr_knn50k(n=50000, d=50, k=500, sight=3000, maxl=1500):
     timed("balance_scan", lambda: kd._balance_scan_impl(
         ii, dist, lsi, cst, maxl, k, False), out)
     p1 = mxu_probe()
-    print(f"#   probe_after: {p1*1e3:.2f}ms", flush=True)
-    out["probe_ms"] = [round(p0 * 1e3, 2), round(p1 * 1e3, 2)]
+    print(f"#   probe_after: {p1:.2f}ms", flush=True)
+    out["probe_ms"] = [round(p0, 2), round(p1, 2)]
     out["sum"] = round(sum(v for kx, v in out.items()
                            if isinstance(v, float)), 2)
     return out

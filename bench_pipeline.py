@@ -53,39 +53,7 @@ def synth(rng, n, g):
     return S, U
 
 
-def mxu_probe():
-    """D=50 MXU distance-matmul fingerprint; contended sessions measure
-    5-15x the clean ~3 ms."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def prob(a, b):
-        return jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
-
-    a = jnp.ones((2048, 50), jnp.float32)
-    b = jnp.ones((8192, 50), jnp.float32)
-    float(jnp.sum(prob(a, b)))   # warm
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = prob(a, b)
-    float(jnp.sum(out))
-    return (time.perf_counter() - t0) / 20 * 1e3
-
-
-_HOST_PROBE = {}
-
-
-def host_probe():
-    """Host BLAS fingerprint (one small dgemm): the host cores are also
-    shared, and host-side stalls (observed: an identical PCA stage
-    swinging 3 s -> 34 s) are invisible to the device probe."""
-    a = _HOST_PROBE.setdefault("a", np.random.RandomState(1).randn(512, 512))
-    a @ a   # warm
-    t0 = time.perf_counter()
-    for _ in range(5):
-        a @ a
-    return (time.perf_counter() - t0) / 5 * 1e3
+from bench_common import host_probe, mxu_probe  # noqa: E402
 
 
 def run_once(S, U):
@@ -179,7 +147,11 @@ def main():
               f"{p_before:.1f}/{p_after:.1f}ms host "
               f"{h_before:.0f}/{h_after:.0f}ms clean={clean}", flush=True)
 
+    n_clean = len([r for r in runs if r["clean"]])
     clean_runs = [r for r in runs if r["clean"]] or runs
+    run_label = (f"median of {n_clean} clean runs" if n_clean
+                 else f"median of {len(runs)} CONTENDED runs (no clean "
+                      f"run this session -- not representative)")
     totals = sorted(r["total"] for r in clean_runs)
     median = totals[len(totals) // 2]
     med_run = next(r for r in clean_runs if r["total"] == median)
@@ -187,9 +159,8 @@ def main():
         "metric": "pipeline_seconds_end_to_end",
         "value": median,
         "unit": f"s ({CELLS} cells x {GENES} genes, k={K}, "
-                f"b_sight={B_SIGHT}, nn={N_NEIGHBORS}; median of "
-                f"{len(clean_runs)} clean runs, spread "
-                f"{totals[0]}-{totals[-1]})",
+                f"b_sight={B_SIGHT}, nn={N_NEIGHBORS}; {run_label}, "
+                f"spread {totals[0]}-{totals[-1]})",
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
         "stages": med_run["stages"],
@@ -212,9 +183,14 @@ def main():
                 merged = json.load(f)
         except Exception:
             merged = {}
-    merged.setdefault("progression_rounds_s", {}).setdefault("r4_runs", []).append(median)
+    merged.setdefault("progression_rounds_s", {}).setdefault(
+        "r4_runs", []).append(median)
     merged.pop("last_run", None)
-    merged.update(result)
+    if n_clean or merged.get("value") is None:
+        merged.update(result)
+    else:
+        # a fully-contended session must not clobber the clean headline
+        merged["last_contended_session"] = result
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
 

@@ -1064,15 +1064,20 @@ class VelocytoLoom:
                 import threading
 
                 def _samp_work():
-                    chunks = []
+                    try:
+                        chunks = []
 
-                    def on_chunk(lo, hi, rows):
-                        chunks.append(jax.device_put(rows.astype(samp_dt)))
+                        def on_chunk(lo, hi, rows):
+                            chunks.append(jax.device_put(
+                                rows.astype(samp_dt)))
 
-                    _samp_box["r"] = _native.choice_noreplace_rows_chunked(
-                        random_seed, N, nn_k, n_samp, p_samp,
-                        n_chunks=4, on_chunk=on_chunk)
-                    _samp_box["chunks"] = chunks
+                        _samp_box["r"] = \
+                            _native.choice_noreplace_rows_chunked(
+                                random_seed, N, nn_k, n_samp, p_samp,
+                                n_chunks=4, on_chunk=on_chunk)
+                        _samp_box["chunks"] = chunks
+                    except BaseException as exc:   # re-raised at join
+                        _samp_box["exc"] = exc
 
                 sample_thread = threading.Thread(target=_samp_work,
                                                  daemon=True)
@@ -1104,10 +1109,16 @@ class VelocytoLoom:
                     # to joining the neighbor sampling
                     perms, sign_bits = _permute_rows_nsign_plan(*dS.shape)
                     import threading
+                    _rndm_box: dict = {}
 
                     def _rndm_work():
-                        self._set_dev("delta_S_rndm", _permute_apply_dev(
-                            dS, jnp.asarray(perms), jnp.asarray(sign_bits)))
+                        try:
+                            self._set_dev(
+                                "delta_S_rndm", _permute_apply_dev(
+                                    dS, jnp.asarray(perms),
+                                    jnp.asarray(sign_bits)))
+                        except BaseException as exc:  # re-raised at join
+                            _rndm_box["exc"] = exc
 
                     rndm_thread = threading.Thread(target=_rndm_work,
                                                    daemon=True)
@@ -1191,6 +1202,8 @@ class VelocytoLoom:
             _nat = None
             if sample_thread is not None:
                 sample_thread.join()
+                if "exc" in _samp_box:
+                    raise _samp_box["exc"]
                 _nat = _samp_box.get("r")
             if _nat is not None:
                 sampling_ixs, _draws, _mt_state = _nat
@@ -1210,7 +1223,7 @@ class VelocytoLoom:
                     jnp.concatenate(chunks, axis=0)
             else:
                 samp_dev = jnp.asarray(sampling_ixs.astype(samp_dt))
-            neigh_ixs = _sample_neighbors_dev(idx_dev, samp_dev, nn_k)
+            neigh_ixs = _sample_neighbors_dev(idx_dev, samp_dev)
             # embedding_knn materializes lazily from the device indices
             for stale in ("embedding_knn", "_compact_ixs"):
                 self.__dict__.pop(stale, None)
@@ -1228,6 +1241,8 @@ class VelocytoLoom:
                 d_rndm = None
                 if calculate_randomized:
                     rndm_thread.join()   # upload+apply worker from above
+                    if "exc" in _rndm_box:
+                        raise _rndm_box["exc"]
                     d_rndm = _corr_transform_dev(
                         hi32, self._get_dev("delta_S_rndm"),
                         self.used_delta_t, psc, transform)
@@ -2096,10 +2111,8 @@ def _embedding_shift_blocked(emb: jax.Array, P: jax.Array, K: jax.Array,
 
 # --- device transition-prob support (reference analysis.py:1452-1668) ---
 
-@functools.partial(jax.jit, static_argnames=("nn_k",))
-@functools.partial(jax.jit, static_argnames=("nn_k",))
-def _sample_neighbors_impl(idx: jax.Array, samp: jax.Array, nn_k: int
-                           ) -> jax.Array:
+@jax.jit
+def _sample_neighbors_dev(idx: jax.Array, samp: jax.Array) -> jax.Array:
     """Fused self-drop + sampled-column gather: one device program
     instead of two separately-dispatched gathers (the (N, nn) stack
     never materializes on host)."""
@@ -2113,11 +2126,6 @@ def _sample_neighbors_impl(idx: jax.Array, samp: jax.Array, nn_k: int
     s = samp.astype(jnp.int32)
     src = s + (s >= first_self[:, None])
     return jnp.take_along_axis(idx, src, axis=1)
-
-
-def _sample_neighbors_dev(idx: jax.Array, samp: jax.Array, nn_k: int
-                          ) -> jax.Array:
-    return _sample_neighbors_impl(idx, samp, nn_k)
 
 
 def _permute_rows_nsign_plan(g: int, n: int):
