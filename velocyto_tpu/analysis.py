@@ -692,8 +692,10 @@ class VelocytoLoom:
 
         S_src = self._get_dev("S_sz" if size_norm else "S")
         U_src = self._get_dev("U_sz" if size_norm else "U")
-        Sx = kd.smooth_dev(S_src, nbr_idx, nbr_w)
-        Ux = kd.smooth_dev(U_src, nbr_idx, nbr_w)
+        # one convolution pass for both matrices: the smoothing is bound
+        # by streaming the (B, N) weight slab, which is per-pass, not
+        # per-matrix (see ops.knn_device.smooth_dev_multi)
+        Sx, Ux = kd.smooth_dev_multi((S_src, U_src), nbr_idx, nbr_w)
         if maximum:
             Sx = jnp.maximum(self._get_dev("S_sz"), Sx)
             Ux = jnp.maximum(self._get_dev("U_sz"), Ux)

@@ -451,6 +451,26 @@ def smooth_dev(data_cols_dev: jax.Array, nbr_idx: jax.Array,
     return out_rows.T
 
 
+def smooth_dev_multi(data_cols_list, nbr_idx: jax.Array,
+                     nbr_w: jax.Array):
+    """Smooth several (G, N) matrices in ONE convolution pass.
+
+    The convolution is bound by streaming the (B, N) weight slab through
+    HBM (~2*N^2*4 bytes regardless of block size; ~20 GB and ~13 s at
+    50k cells), and that cost is per PASS, not per matrix: one matmul
+    against the gene-concatenated data amortizes the slab across all
+    inputs (Sx+Ux drop from 2 slabs to 1)."""
+    gs = [d.shape[0] for d in data_cols_list]
+    stacked = jnp.concatenate([d.T for d in data_cols_list], axis=1)
+    out = _smooth_rows_impl(stacked, nbr_idx, nbr_w)
+    outs = []
+    off = 0
+    for g in gs:
+        outs.append(out[:, off:off + g].T)
+        off += g
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # host materialization (lazy .knn / .knn_smoothing_w views)
 # ---------------------------------------------------------------------------
