@@ -183,10 +183,14 @@ def main():
                 merged = json.load(f)
         except Exception:
             merged = {}
-    merged.setdefault("progression_rounds_s", {}).setdefault(
-        "r4_runs", []).append(median)
-    merged.pop("last_run", None)
-    if n_clean or merged.get("value") is None:
+    if CELLS != 20000:
+        # non-default scale points get their own section; the top-level
+        # headline stays the canonical 20k operating point
+        merged[f"pipeline_{CELLS // 1000}k"] = result
+    elif n_clean or merged.get("value") is None:
+        merged.setdefault("progression_rounds_s", {}).setdefault(
+            "r4_runs", []).append(median)
+        merged.pop("last_run", None)
         merged.update(result)
     else:
         # a fully-contended session must not clobber the clean headline
