@@ -163,7 +163,10 @@ def _candidate_plan(n: int, k: int, block: int) -> Tuple[int, int, bool]:
     free."""
     k2 = min(n, k + 8)
     use_sort = True
-    if n > 65536:
+    # measured r4 sweep at D=50, k2~3000: 50k cells sorts fastest at
+    # block 128 (2.14 s vs 3.49 at 256 vs 2.95 at 64); 20k at 256
+    # (0.31 s); the larger (B, N) sort scratch hurts past ~32k rows
+    if n > 32768:
         block = min(block, 128)
     elif n > 16384:
         block = min(block, 256)
