@@ -95,6 +95,56 @@ def test_balance_scan_constrained(rng):
     np.testing.assert_array_equal(np.asarray(dn_d), dn_h)
 
 
+def test_balance_scan_adversarial_shapes(rng):
+    """Property sweep over the speculative batched scan's hard regimes:
+    cap exactly at k (every acceptance can bind), cap at k+1 (crossings
+    on nearly every window), duplicate points (tie groups + self beyond
+    slot 0), n smaller than the batch width, and n not a multiple of
+    the window -- each bit-equal to the host greedy loop."""
+    import jax.numpy as jnp
+    cases = [
+        dict(n=300, sight=41, k=10, maxl=10),    # cap == k: max pressure
+        dict(n=300, sight=41, k=10, maxl=11),    # cap == k+1
+        dict(n=17, sight=9, k=4, maxl=5),        # n < batch width
+        dict(n=257, sight=33, k=16, maxl=40),    # n % window != 0
+    ]
+    for case in cases:
+        n, sight, k, maxl = (case[x] for x in ("n", "sight", "k", "maxl"))
+        x = rng.randn(n, 4)
+        # force duplicate points (exact ties, self not in slot 0)
+        x[:: max(2, n // 8)] = x[0]
+        dist, dsi = knn_search(x, min(sight, n))
+        dn_h, di_h, l_h = _host_balance(dsi, dist, maxl, k)
+        dn_d, di_d, l_d = kd.balance_knn_dev(
+            jnp.asarray(dsi, jnp.int32), jnp.asarray(dist, jnp.float64),
+            maxl=maxl, k=k)
+        np.testing.assert_array_equal(np.asarray(di_d), di_h, err_msg=str(case))
+        np.testing.assert_array_equal(np.asarray(dn_d), dn_h, err_msg=str(case))
+        np.testing.assert_array_equal(np.asarray(l_d), l_h, err_msg=str(case))
+
+
+def test_smooth_dev_multi_equals_separate(rng):
+    """The fused S+U convolution must equal two separate passes."""
+    import jax.numpy as jnp
+    n, g, k = 80, 13, 6
+    idx = np.stack([rng.choice(n, k, replace=False)
+                    for _ in range(n)]).astype(np.int32)
+    w = rng.rand(n, k).astype(np.float32)
+    w /= w.sum(1, keepdims=True)
+    a = rng.rand(g, n).astype(np.float32)
+    b = rng.rand(g + 3, n).astype(np.float32)
+    sa, sb = kd.smooth_dev_multi(
+        (jnp.asarray(a), jnp.asarray(b)), jnp.asarray(idx), jnp.asarray(w))
+    np.testing.assert_allclose(
+        np.asarray(sa),
+        np.asarray(kd.smooth_dev(jnp.asarray(a), jnp.asarray(idx),
+                                 jnp.asarray(w))), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sb),
+        np.asarray(kd.smooth_dev(jnp.asarray(b), jnp.asarray(idx),
+                                 jnp.asarray(w))), rtol=1e-6, atol=1e-6)
+
+
 def test_balanced_graph_and_weights_match_reference_chain(rng):
     """Full chain: graph csr + row-normalized weights equal the host
     BalancedKNN.kneighbors_graph -> connectivity_to_weights chain."""
