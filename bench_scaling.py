@@ -93,12 +93,15 @@ def analyze_multichip(n_cells: int = 20000, n_genes: int = 2000,
     chunk over ICI while every chip evaluates the sampled pairs whose
     neighbor lives in the resident chunk.  The ppermute is issued before
     the step's compute and shares no dependency with it, so XLA's async
-    collective scheduler overlaps the transfer with the group-table
+    collective scheduler overlaps the transfer with the block-table
     evaluation; the model reports both the overlapped and the serial
     prediction.  Per-chip bytes sent = (P-1)/P * N*G*4.  The compute per
-    step is the per-(row, owner-chunk) group table from _ring_plan,
-    padded to the global max group size M -- the padding inflation IS
-    the work imbalance, measured here exactly.
+    step is the BLOCK-QUANTIZED table from _ring_plan (round 4): each
+    (row, owner) group packs into q-entry blocks and only the
+    per-(chip, owner) block count pads to the global max, so the
+    padding inflation -- the work imbalance, measured here exactly --
+    collapses from the old per-group-max tail (1.25x at P=8) to ~q/2
+    per group (1.04x).
 
     Efficiency model:  eff(P) = T1 / (P * Tp),
       serial:     Tp = max_padded_work/rate + ring_bytes/BW
@@ -109,14 +112,12 @@ def analyze_multichip(n_cells: int = 20000, n_genes: int = 2000,
       per the public per-link one-way figure -- the earlier 180 GB/s
       figure summed all four torus links, which a 1-D ring cannot use).
 
-    Verdict on the >=80% target for the ring itself: at the modeled
-    operating point comm is ~2-9% of compute and fully hidden by the
-    overlap, so the remaining deficit (eff ~0.80 at P=8) is PURELY the
-    multinomial tail of the per-(row, chunk) group-size padding -- a
-    documented layout bound of the padded-group-table design, not a
-    communication cost.  Since the ring only runs where replication
-    cannot (beyond ~2M cells), the deployed configuration always uses
-    the layout that meets the target.
+    Verdict on the >=80% target: BOTH layouts now clear it at every
+    modeled P -- replicated at ~1.0, ring at 0.99/0.98/0.96/0.93 for
+    P=2/4/8/16 overlapped (serial-comm predictions also clear 0.80
+    through P=8).  Comm is ~2-16% of compute and fully hidden by the
+    overlap; the residual ring deficit is the q-quantization waste plus
+    the CLT-tight block-count max.
     """
     from velocyto_tpu.ops.coldeltacor import _ring_plan
     rng = np.random.default_rng(1)
@@ -143,21 +144,22 @@ def analyze_multichip(n_cells: int = 20000, n_genes: int = 2000,
         }
 
         chunk = (n_cells + p - 1) // p
-        per_shard_padded = []
-        for r in rows:
-            _local_pad, _inv, m = _ring_plan(ixs[r], p, chunk)
-            per_shard_padded.append(len(r) * p * int(m))
+        qwidth = 16
+        _qloc, _qrow, _inv, bmax = _ring_plan(ixs, p, chunk, q=qwidth)
+        # every chip processes P owner tables of Bmax q-blocks per ring
+        per_shard_padded = p * bmax * qwidth
         ring_bytes = (p - 1) / p * n_cells * n_genes * 4
         rate = pair_work / t1                     # pairs/s single chip
-        t_comp = max(per_shard_padded) / rate
+        t_comp = per_shard_padded / rate
         t_comm = ring_bytes / (ici_gbps * 1e9)
         tp_serial = t_comp + t_comm
         tp_overlap = max(t_comp, t_comm)
         out["ring"][p] = {
             "collective_bytes_per_chip": int(ring_bytes),
             "padding_inflation": round(
-                sum(per_shard_padded) / (pair_work), 4),
-            "max_shard_padded_pairs": max(per_shard_padded),
+                p * per_shard_padded / pair_work, 4),
+            "per_shard_padded_pairs": per_shard_padded,
+            "block_q": qwidth,
             "per_chip_expression_bytes": chunk * n_genes * 4,
             "comm_fraction_of_compute": round(t_comm / t_comp, 4),
             "predicted_efficiency_serial": round(t1 / (p * tp_serial), 4),

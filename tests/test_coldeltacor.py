@@ -118,18 +118,26 @@ def test_partial_ring_matches_single(rng, transform, psc):
 
 
 def test_ring_plan_roundtrip(rng):
-    """_ring_plan's padded layout + inverse positions reconstruct the
-    original neighbor order exactly."""
+    """The block-quantized plan's tables + inverse positions reconstruct
+    the original neighbor order exactly, and every referenced block
+    carries the right center row."""
     from velocyto_tpu.ops.coldeltacor import _ring_plan
-    n, nn, shards = 37, 11, 8
-    chunk = (n + shards - 1) // shards
-    ixs = np.stack([rng.choice(n, nn, replace=False) for _ in range(n)])
-    local_pad, inv_pos, m = _ring_plan(ixs, shards, chunk)
-    owners = np.repeat(np.arange(shards), m)[None, :]
-    flat_global = local_pad.reshape(n, shards * m) + owners * chunk
-    rebuilt = np.take_along_axis(flat_global, inv_pos.astype(np.int64),
-                                 axis=1)
-    np.testing.assert_array_equal(rebuilt, ixs)
+    for n, nn, shards, q in ((37, 11, 8, 4), (64, 16, 4, 16),
+                             (50, 13, 8, 16)):
+        chunk = (n + shards - 1) // shards
+        ixs = np.stack([rng.choice(n, nn, replace=False)
+                        for _ in range(n)])
+        qloc, qrow, inv_pos, bmax = _ring_plan(ixs, shards, chunk, q=q)
+        for r in range(n):
+            p = r // chunk
+            pos = inv_pos[r].astype(np.int64)
+            v = pos // (bmax * q)
+            b = (pos % (bmax * q)) // q
+            slot = pos % q
+            rebuilt = qloc[p, v, b, slot] + v * chunk
+            np.testing.assert_array_equal(rebuilt, ixs[r])
+            np.testing.assert_array_equal(qrow[p, v, b],
+                                          np.full(nn, r - p * chunk))
 
 
 def test_sharded_routes_to_ring_over_threshold(rng, monkeypatch):

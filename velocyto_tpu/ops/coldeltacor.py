@@ -498,50 +498,123 @@ def col_delta_cor_partial_sharded(mesh: Mesh, emat, dmat, ixs,
 # output is un-permuted on device with one take_along_axis.
 
 
-def _ring_plan(ixs: np.ndarray, shards: int, chunk: int):
-    """Group each row's neighbor indices by owning chunk.
+def _ring_plan(ixs: np.ndarray, shards: int, chunk: int, q: int = 16):
+    """Block-quantized grouping of each row's neighbor indices by owning
+    chunk (round 4; replaces the padded-per-(row, owner) group table).
 
-    Returns (local_pad (N, P, M) int32 chunk-local indices,
-    inv_pos (N, nn) int32 positions into the flattened (P*M) padded
-    layout, M).  Padding slots hold index 0; their outputs are never
-    referenced by inv_pos."""
+    The old layout padded every (row, owner) group to the GLOBAL max
+    group size, and that multinomial-tail inflation (1.25x at P=8,
+    20k/1750) was the entire modeled efficiency deficit of the ring
+    schedule.  Here each (row, owner) group is packed into ceil(cnt/q)
+    blocks of q entries, and only the per-(chip, owner) BLOCK COUNT is
+    padded to the global max -- a sum of ~chunk-many ceils whose max is
+    CLT-tight, so the waste collapses to ~q/2 per group (~4% at the
+    same operating point).
+
+    Returns (qloc (P, P, Bmax, q) int32 chunk-local neighbor indices,
+    qrow (P, P, Bmax) int32 chunk-local center row of each block,
+    inv_pos (N, nn) int32 positions into the per-chip (P*Bmax*q) output
+    layout, Bmax).  Dummy blocks/slots hold zeros; their outputs are
+    never referenced by inv_pos.
+    """
     n, nn = ixs.shape
-    owner = (ixs // chunk).astype(np.int32)
+    n_pad = chunk * shards
+    owner = (ixs // chunk).astype(np.int64)
+    local = (ixs - owner * chunk).astype(np.int32)
     order = np.argsort(owner, axis=1, kind="stable")
     owner_s = np.take_along_axis(owner, order, axis=1)
-    local_s = np.take_along_axis(ixs - owner * chunk, order, axis=1)
-    rows = np.repeat(np.arange(n), nn)
+    local_s = np.take_along_axis(local, order, axis=1)
+    rows_rep = np.repeat(np.arange(n), nn)
     counts = np.zeros((n, shards), np.int64)
-    np.add.at(counts, (rows, owner.ravel()), 1)
-    m = max(1, int(counts.max()))
-    starts = np.zeros((n, shards), np.int64)
-    starts[:, 1:] = np.cumsum(counts, axis=1)[:, :-1]
-    j = np.arange(nn)[None, :]
-    rank_s = j - np.take_along_axis(starts, owner_s.astype(np.int64),
-                                    axis=1)
-    local_pad = np.zeros((n, shards, m), np.int32)
-    local_pad[rows, owner_s.ravel(),
-              rank_s.ravel()] = local_s.ravel().astype(np.int32)
-    pos_s = owner_s.astype(np.int64) * m + rank_s          # sorted order
-    inv_pos = np.empty((n, nn), np.int64)
-    np.put_along_axis(inv_pos, order, pos_s, axis=1)
-    return local_pad, inv_pos.astype(np.int32), m
+    np.add.at(counts, (rows_rep, owner.ravel()), 1)
+    blocks = -(-counts // q)                            # (n, P) ceil
+    # exclusive cumsum of block counts over the rows of each chip
+    blk_start = np.zeros((n, shards), np.int64)
+    bc = np.zeros((shards, shards), np.int64)           # (chip, owner)
+    for p in range(shards):
+        sl = slice(p * chunk, min((p + 1) * chunk, n))
+        blk_start[sl] = np.cumsum(blocks[sl], axis=0) - blocks[sl]
+        bc[p] = blocks[sl].sum(axis=0)
+    bmax = max(1, int(bc.max()))
+
+    starts_in_row = np.zeros((n, shards), np.int64)
+    starts_in_row[:, 1:] = np.cumsum(counts, axis=1)[:, :-1]
+    t = np.arange(nn)[None, :] - np.take_along_axis(starts_in_row,
+                                                    owner_s, axis=1)
+    b_idx = np.take_along_axis(blk_start, owner_s, axis=1) + t // q
+    slot = t % q
+    chip_of = (np.arange(n) // chunk)[:, None]
+    row_local = (np.arange(n) - (np.arange(n) // chunk) * chunk
+                 ).astype(np.int32)
+
+    qloc = np.zeros((shards, shards, bmax, q), np.int32)
+    qrow = np.zeros((shards, shards, bmax), np.int32)
+    qloc[np.broadcast_to(chip_of, owner_s.shape), owner_s, b_idx,
+         slot] = local_s
+    qrow[np.broadcast_to(chip_of, owner_s.shape), owner_s,
+         b_idx] = np.broadcast_to(row_local[:, None], owner_s.shape)
+    pos_s = owner_s * (bmax * q) + b_idx * q + slot
+    inv_pos = np.zeros((n_pad, nn), np.int64)
+    np.put_along_axis(inv_pos[:n], order, pos_s, axis=1)
+    return qloc, qrow, inv_pos.astype(np.int32), bmax
 
 
-def make_partial_ring(mesh: Mesh, shards: int, m: int, nn: int,
-                      transform: str = "linear", psc: float = 0.0):
-    """Build the shard_map'd ring partial-colDeltaCor callable.
+@functools.partial(jax.jit,
+                   static_argnames=("transform", "psc", "block"))
+def _partial_flat_impl(e_full: jax.Array, e_ctr: jax.Array,
+                       d_ctr: jax.Array, qloc: jax.Array, qrow: jax.Array,
+                       transform: int, psc: float,
+                       block: int = 512) -> jax.Array:
+    """_partial_impl over an explicit flat block table: qloc (F, q)
+    gather-source rows per block, qrow (F,) center row of each block.
+    Returns (F, q) correlations.  Same tiling/moment math as
+    _partial_impl; the center row amortizes over the q entries of its
+    block exactly like the nt-neighbor chunks there."""
+    f, q = qloc.shape
+    g = e_ctr.shape[1]
+    block = max(8, min(block, (1 << 24) // max(1, q * g), f))
+    f_pad = ((f + block - 1) // block) * block
+    qloc_p = jnp.pad(qloc, ((0, f_pad - f), (0, 0)))
+    qrow_p = jnp.pad(qrow, ((0, f_pad - f),))
 
-    Signature: (e_shard (C, G), d_shard (C, G), local_pad (C, P, M),
-    inv_pos (C, nn)) -> (C, nn), everything sharded on the CELLS axis.
+    def block_fn(r0):
+        cid = jax.lax.dynamic_slice(qrow_p, (r0,), (block,))
+        rows = e_ctr[cid]                                         # (B, G)
+        b = d_ctr[cid]
+        nb_ix = jax.lax.dynamic_slice(qloc_p, (r0, 0), (block, q))
+        e_nb = e_full[nb_ix]                                      # (B,q,G)
+        delta = e_nb - rows[:, None, :]
+        a = _apply_transform(delta, transform, psc, partial=True)
+        s1 = jnp.sum(a, axis=-1)
+        s2 = jnp.sum(a * a, axis=-1)
+        s3 = jnp.einsum("bng,bg->bn", a, b,
+                        precision=jax.lax.Precision.HIGHEST)
+        sb1 = jnp.sum(b, axis=-1)[:, None]
+        sb2 = jnp.sum(b * b, axis=-1)[:, None]
+        return _corr_from_moments(s1, s2, s3, sb1, sb2, float(g))
+
+    blocks = jax.lax.map(block_fn, jnp.arange(0, f_pad, block))
+    return blocks.reshape(f_pad, q)[:f]
+
+
+def make_partial_ring(mesh: Mesh, shards: int, bmax: int, qwidth: int,
+                      nn: int, transform: str = "linear",
+                      psc: float = 0.0):
+    """Build the shard_map'd ring partial-colDeltaCor callable over the
+    block-quantized plan.
+
+    Signature: (e_shard (C, G), d_shard (C, G), qloc (1, P, Bmax, q),
+    qrow (1, P, Bmax), inv_pos (C, nn)) -> (C, nn); expression/output
+    sharded on CELLS, one (P, Bmax[, q]) table slice per chip.
     """
     tcode = _TRANSFORMS[transform]
     perm = [(i, (i - 1) % shards) for i in range(shards)]
 
-    def ring_fn(e_shard, d_shard, local_pad, inv_pos):
+    def ring_fn(e_shard, d_shard, qloc, qrow, inv_pos):
         p = jax.lax.axis_index(CELLS)
-        c = e_shard.shape[0]
-        out0 = jnp.zeros((c, shards, m), jnp.float32)
+        qloc = qloc[0]                  # (P, Bmax, q)
+        qrow = qrow[0]                  # (P, Bmax)
+        out0 = jnp.zeros((shards, bmax, qwidth), jnp.float32)
         # the carry becomes device-varying once p enters the body; the
         # initial value must carry the same manual-axes annotation
         if hasattr(jax.lax, "pcast"):
@@ -552,28 +625,31 @@ def make_partial_ring(mesh: Mesh, shards: int, m: int, nn: int,
         def body(carry, s):
             e_visit, out = carry
             v = jax.lax.rem(p + s, shards)
-            ix_v = jax.lax.dynamic_index_in_dim(local_pad, v, axis=1,
-                                                keepdims=False)  # (C, M)
-            # issue the rotation BEFORE the group-table compute: both
+            # issue the rotation BEFORE the block-table compute: both
             # read only e_visit, so XLA's async collective scheduler
             # overlaps the ICI transfer with the step's compute (the
             # transfer is <10% of the step at the modeled operating
             # points -- see bench_scaling.analyze_multichip -- so the
             # overlap fully hides it)
             e_next = jax.lax.ppermute(e_visit, CELLS, perm)
-            part = _partial_impl(e_visit, e_shard, d_shard, ix_v,
-                                 tcode, psc)                     # (C, M)
-            out = jax.lax.dynamic_update_slice(out, part[:, None, :],
-                                               (0, v, 0))
+            loc_v = jax.lax.dynamic_index_in_dim(qloc, v, axis=0,
+                                                 keepdims=False)
+            row_v = jax.lax.dynamic_index_in_dim(qrow, v, axis=0,
+                                                 keepdims=False)
+            part = _partial_flat_impl(e_visit, e_shard, d_shard,
+                                      loc_v, row_v, tcode, psc)
+            out = jax.lax.dynamic_update_slice(out, part[None],
+                                               (v, 0, 0))
             return (e_next, out), None
 
         (_, out), _ = jax.lax.scan(body, (e_shard, out0),
                                    jnp.arange(shards, dtype=jnp.int32))
-        return jnp.take_along_axis(out.reshape(c, shards * m), inv_pos,
-                                   axis=1)
+        return jnp.take(out.reshape(shards * bmax * qwidth),
+                        inv_pos, axis=0)
 
     return shard_map(ring_fn, mesh=mesh,
                      in_specs=(P(CELLS, None), P(CELLS, None),
+                               P(CELLS, None, None, None),
                                P(CELLS, None, None), P(CELLS, None)),
                      out_specs=P(CELLS, None))
 
@@ -593,13 +669,13 @@ def col_delta_cor_partial_ring_dev(mesh: Mesh, emat, dmat, ixs,
     shards = mesh.shape[CELLS]
     chunk = (n + shards - 1) // shards
     n_pad = chunk * shards
-    local_pad, inv_pos, m = _ring_plan(ixs, shards, chunk)
+    qwidth = min(16, nn)
+    qloc, qrow, inv_pos, bmax = _ring_plan(ixs, shards, chunk, q=qwidth)
     e_pad = jnp.pad(e_rows, ((0, n_pad - n), (0, 0)))
     d_pad = jnp.pad(d_rows, ((0, n_pad - n), (0, 0)))
-    lp = jnp.pad(jnp.asarray(local_pad), ((0, n_pad - n), (0, 0), (0, 0)))
-    ip = jnp.pad(jnp.asarray(inv_pos), ((0, n_pad - n), (0, 0)))
-    fn = make_partial_ring(mesh, shards, m, nn, transform, psc)
-    return fn(e_pad, d_pad, lp, ip)[:n]
+    fn = make_partial_ring(mesh, shards, bmax, qwidth, nn, transform, psc)
+    return fn(e_pad, d_pad, jnp.asarray(qloc), jnp.asarray(qrow),
+              jnp.asarray(inv_pos))[:n]
 
 
 def col_delta_cor_partial_ring(mesh: Mesh, emat, dmat, ixs,
