@@ -81,7 +81,7 @@ def main():
                  else f"median of {len(runs)} CONTENDED runs (no clean "
                       f"run this session -- not representative)")
     totals = sorted(r["total"] for r in clean_runs)
-    median = totals[len(totals) // 2]
+    median = totals[(len(totals) - 1) // 2]
     med = next(r for r in clean_runs if r["total"] == median)
     rec = {
         "metric": "knn_50k_balanced_seconds",
