@@ -96,6 +96,33 @@ def test_full_estimation_pipeline(synthetic_loom, tmp_path):
     np.testing.assert_allclose(vlm2.delta_embedding, vlm.delta_embedding)
 
 
+def test_transition_prob_validates_before_threads(synthetic_loom):
+    """Bad parameters must raise BEFORE the sampling/randomization worker
+    threads start (round-4 advisor: errors mid-flight abandoned daemon
+    workers doing device uploads)."""
+    import threading
+    vlm = vt.VelocytoLoom(synthetic_loom)
+    vlm.normalize("both", size=True, log=True)
+    vlm.perform_PCA(n_components=8)
+    vlm.knn_imputation(k=10, balanced=False)
+    vlm.fit_gammas(limit_gamma=False, fit_offset=True)
+    vlm.predict_U()
+    vlm.calculate_velocity()
+    vlm.calculate_shift(assumption="constant_velocity")
+    vlm.extrapolate_cell_at_t(delta_t=1)
+    vlm.ts = vlm.pcs[:, :2]
+    before = threading.active_count()
+    with pytest.raises(NotImplementedError, match="not a valid parameter"):
+        vlm.estimate_transition_prob(hidim="Sx_sz", embed="ts",
+                                     transform="bogus", n_neighbors=10)
+    with pytest.raises(ValueError, match="ndims"):
+        vlm.estimate_transition_prob(hidim="Sx_sz", embed="ts",
+                                     transform="sqrt", ndims=3,
+                                     n_neighbors=10)
+    assert threading.active_count() == before, \
+        "validation errors must not leave worker threads behind"
+
+
 def test_embedding_shift_matches_dense_oracle(synthetic_loom):
     """The blocked XLA embedding-shift kernel vs the dense formula."""
     rng = np.random.RandomState(3)

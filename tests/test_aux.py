@@ -78,6 +78,34 @@ def test_transition_matrix_rows_normalized(diffusion_setup):
     np.testing.assert_allclose(rs, 1.0, atol=1e-6)
 
 
+def test_transition_matrix2_large_n_matches_dense():
+    """The blocked device-kNN path (N > 4096) must select the same
+    neighbor sets and probabilities as the dense small-N construction
+    (reference diffusion.py:14-53 runs sklearn NN at any scale)."""
+    rng = np.random.RandomState(3)
+    n = 5000
+    emb = rng.randn(n, 2)
+    delta = rng.randn(n, 2) * 0.1
+    d = vt.Diffusion()
+    tr = d.compute_transition_matrix2(emb, delta, sigma=0.5)
+    assert tr.shape == (n, n)
+    rs = np.asarray(tr.sum(1)).ravel()
+    np.testing.assert_allclose(rs, 1.0, atol=1e-6)
+    # dense oracle on a subset of rows: same 20-NN probabilities
+    from scipy.stats import norm as _norm
+    x1 = emb + delta
+    rows = rng.choice(n, 40, replace=False)
+    for r in rows:
+        dists = np.linalg.norm(x1[r][None, :] - emb, axis=-1)
+        nearest = np.argsort(dists)[:20]
+        probs = _norm.pdf(dists[nearest], 0, 0.5)
+        probs = probs / np.abs(probs).sum()
+        got = np.asarray(tr[r].todense()).ravel()
+        want = np.zeros(n)
+        want[nearest] = probs
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
 def test_diffuse_modes(diffusion_setup):
     emb, delta = diffusion_setup
     d = vt.Diffusion()

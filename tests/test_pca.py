@@ -42,6 +42,52 @@ def test_pca_gram_path_equals_svd_path(rng):
                                rtol=1e-10)
 
 
+def test_f32_gate_agreement_at_production_scale(rng, monkeypatch):
+    """The default-on f32 Gram above the size gate must agree with the
+    exact f64 path on a gated-size-representative spectrum (low-rank
+    signal + Poisson-style noise floor, the production operating
+    regime): explained-variance ratios, the leading well-separated
+    subspace, and downstream kNN built on the PCs (round-4 advisor)."""
+    from velocyto_tpu.ops.pca import _pca_impl
+    # bench_pipeline.synth-shaped data: 12 latent dims over noise
+    n, g, k_lat = 3000, 400, 12
+    zl = rng.gamma(2.0, 1.0, (n, k_lat))
+    wl = rng.gamma(2.0, 1.0, (k_lat, g))
+    base = (zl @ wl) * rng.uniform(0.05, 0.6, g)[None, :]
+    X = np.log2(rng.poisson(base).astype(np.float64) + 1)
+
+    monkeypatch.setenv("VELOCYTO_PCA_F32", "1")
+    pcs32, vt32, ev32, tv32 = _pca_impl(X, 50)
+    monkeypatch.setenv("VELOCYTO_PCA_F32", "0")
+    pcs64, vt64, ev64, tv64 = _pca_impl(X, 50)
+
+    # explained-variance ratios: the quantity every gene-selection /
+    # n-component decision reads
+    np.testing.assert_allclose(ev32 / tv32, ev64 / tv64,
+                               rtol=1e-4, atol=1e-7)
+    # leading subspace (rotation-invariant): project f64 PCs onto the
+    # f32 component basis and back -- residual must be at the f32
+    # noise level for the well-separated latent block
+    lead = k_lat
+    proj = pcs64[:, :lead] @ (vt64[:lead] @ vt32[:lead].T)
+    recon = proj @ (vt32[:lead] @ vt64[:lead].T)
+    rel = np.linalg.norm(recon - pcs64[:, :lead]) / \
+        np.linalg.norm(pcs64[:, :lead])
+    assert rel < 1e-4, f"leading-subspace residual {rel:.2e}"
+    # downstream kNN stability on the top PCs (what knn_imputation
+    # consumes): neighbor sets must be essentially identical
+    sample = rng.choice(n, 200, replace=False)
+    d32 = np.linalg.norm(pcs32[sample, None, :lead] -
+                         pcs32[None, :, :lead], axis=-1)
+    d64 = np.linalg.norm(pcs64[sample, None, :lead] -
+                         pcs64[None, :, :lead], axis=-1)
+    nn32 = np.argsort(d32, axis=1)[:, :10]
+    nn64 = np.argsort(d64, axis=1)[:, :10]
+    overlap = np.mean([len(np.intersect1d(a, b)) / 10.0
+                       for a, b in zip(nn32, nn64)])
+    assert overlap >= 0.95, f"kNN overlap {overlap:.3f}"
+
+
 def test_pca_subset_components_match_full(rng):
     """The dsyevr top-k subset path must equal the full decomposition."""
     from velocyto_tpu.ops.pca import _pca_impl

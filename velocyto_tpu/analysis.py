@@ -1037,6 +1037,17 @@ class VelocytoLoom:
         # all consume the device-backed attributes directly
         use_dev_transform = knn_random and "pcs" not in hidim
 
+        # validate user parameters BEFORE any worker thread starts: an
+        # error raised mid-flight would abandon daemon workers doing
+        # device uploads and C++ sampling (round-4 advisor finding)
+        if transform not in ("log", "logratio", "linear", "sqrt"):
+            raise NotImplementedError(
+                f"transform={transform} is not a valid parameter")
+        if "pcs" not in hidim and ndims is not None:
+            raise ValueError(
+                f"ndims was set to {ndims} but hidim != 'pcs'. "
+                f"Set ndims = None for hidim='{hidim}'")
+
         embedding = getattr(self, embed)
         self.embedding = embedding
         # sklearn semantics (reference :1547-1549, :1631-1635): the query
@@ -1090,10 +1101,6 @@ class VelocytoLoom:
             hi_dim_t = np.array(getattr(self, hidim + "_t").T[:, :ndims],
                                 order="C")
         else:
-            if ndims is not None:
-                raise ValueError(
-                    f"ndims was set to {ndims} but hidim != 'pcs'. "
-                    f"Set ndims = None for hidim='{hidim}'")
             hi_dim = None if use_dev_transform else getattr(self, hidim)
             hi_dim_t = hi_dim_t_rndm = None
             if not use_dev_transform:
@@ -1185,11 +1192,6 @@ class VelocytoLoom:
         # replaces ~15 s of host f64 full-matrix passes.  The host f64
         # _transform_for_corr stays for the full variant and the "pcs"
         # hidim (where hi_dim_t is an independent attribute).
-        if use_dev_transform and transform not in ("log", "logratio",
-                                                   "linear", "sqrt"):
-            raise NotImplementedError(
-                f"transform={transform} is not a valid parameter")
-
         if knn_random:
             np.random.seed(random_seed)
             self.corr_calc = "knn_random"

@@ -48,16 +48,18 @@ class Diffusion:
         n_cells = x0.shape[0]
         n_neighbors = min(20, n_cells)
         x1 = x0 - v if reverse else x0 + v
-        # kNN of the *extrapolated* positions against the current ones:
-        # search over the union index, querying x1 rows against x0
-        dists = np.linalg.norm(
-            x1[:, None, :] - x0[None, :, :], axis=-1) if n_cells <= 4096 else None
-        if dists is not None:
+        # kNN of the *extrapolated* positions against the current ones
+        # (reference fits sklearn NN on x0 and queries x1 at any scale);
+        # small N runs a dense host argsort, large N the blocked device
+        # query kernel with exact f64 re-scoring -- same neighbor sets.
+        if n_cells <= 4096:
+            dists = np.linalg.norm(
+                x1[:, None, :] - x0[None, :, :], axis=-1)
             nearest = np.argsort(dists, axis=1)[:, :n_neighbors]
             dvals = np.take_along_axis(dists, nearest, axis=1)
-        else:  # blocked TPU path for large N
-            from .ops.knn import _knn_search_impl  # noqa
-            raise NotImplementedError("large-N path: use compute_transition_matrix")
+        else:
+            from .ops.knn import _knn_query_impl
+            dvals, nearest = _knn_query_impl(x0, x1, n_neighbors)
         probs = norm.pdf(dvals.ravel(), 0, sigma)
         cells = np.repeat(np.arange(n_cells), n_neighbors)
         tr = sparse.coo_matrix((probs, (cells, nearest.ravel())),

@@ -19,7 +19,12 @@ for zero steady-state benefit, and an f32 device Gram would cost a
     normalization is trace(Gram)/(n-1), so no full spectrum is needed.
     Round-4 attribution: the previous full-eigh + all-G projection
     variant cost 5.2 s at 20k x 2k on this host; syrk + top-k eigh +
-    k-column projection is ~1.5 s with bit-comparable output.
+    k-column projection is ~1.5 s.  Below the f32 gate the output is
+    exact f64 LAPACK; above it (see the gate comment in `_pca_impl`)
+    the f32 Gram agrees with f64 on explained-variance ratios and on
+    the well-separated leading subspace, while eigenvectors inside
+    noise-floor-degenerate clusters may rotate (pinned by
+    tests/test_pca.py::test_f32_gate_agreement_at_production_scale).
 """
 from __future__ import annotations
 
