@@ -1,10 +1,12 @@
 """50k-cell balanced-kNN benchmark (the reference's b_sight=3000/k=500
 operating point scaled to 50k cells), fully device-resident.
 
-Round-4 measurement policy: ≥3 runs of the complete chain with an MXU
-probe bracketing each; the headline is the MEDIAN of clean runs with the
-stage split from the median run; min/max spread recorded.  Writes the
-"knn_50k_sight3000_onechip" section of BENCH_scale.json.
+Round-5 measurement policy (declared up front): run 0 is ALWAYS a warmup
+(program loads from the persistent compile cache) and never enters the
+statistic; the headline is the TRUE median (statistics.median) of the
+clean measured runs (default 6 reps -> 1 warmup + 5 measured) with the
+stage split from the run closest to the median; min/max spread recorded.
+Writes the "knn_50k_sight3000_onechip" section of BENCH_scale.json.
 """
 import json
 import os
@@ -14,7 +16,7 @@ import numpy as np
 
 N = int(os.environ.get("VTPU_BENCH_KNN_CELLS", 50000))
 D, K, SIGHT, MAXL = 50, 500, 3000, 1500
-REPS = int(os.environ.get("VTPU_BENCH_KNN_REPS", 3))
+REPS = int(os.environ.get("VTPU_BENCH_KNN_REPS", 6))
 PROBE_MS = float(os.environ.get("VTPU_BENCH_PROBE_MS", 8.0))
 
 
@@ -71,18 +73,22 @@ def main():
         clean = max(p0, p1) <= PROBE_MS
         runs.append({"total": total, "stages": stages,
                      "probe_ms": [round(p0, 2), round(p1, 2)],
-                     "clean": clean})
+                     "clean": clean, "warmup": rep == 0})
         print(f"# run {rep}: {total}s probes {p0:.1f}/{p1:.1f}ms "
-              f"clean={clean} stages={stages}", flush=True)
+              f"clean={clean} stages={stages}"
+              f"{' (warmup, excluded)' if rep == 0 else ''}", flush=True)
 
-    n_clean = len([r for r in runs if r["clean"]])
-    clean_runs = [r for r in runs if r["clean"]] or runs
-    run_label = (f"median of {n_clean} clean runs" if n_clean
-                 else f"median of {len(runs)} CONTENDED runs (no clean "
+    import statistics
+    measured = [r for r in runs if not r["warmup"]]
+    n_clean = len([r for r in measured if r["clean"]])
+    clean_runs = [r for r in measured if r["clean"]] or measured
+    run_label = (f"true median of {n_clean} clean runs, warmup run "
+                 f"excluded" if n_clean
+                 else f"median of {len(measured)} CONTENDED runs (no clean "
                       f"run this session -- not representative)")
     totals = sorted(r["total"] for r in clean_runs)
-    median = totals[(len(totals) - 1) // 2]
-    med = next(r for r in clean_runs if r["total"] == median)
+    median = round(float(statistics.median(totals)), 2)
+    med = min(clean_runs, key=lambda r: abs(r["total"] - median))
     rec = {
         "metric": "knn_50k_balanced_seconds",
         "value": median,

@@ -96,6 +96,40 @@ def test_full_estimation_pipeline(synthetic_loom, tmp_path):
     np.testing.assert_allclose(vlm2.delta_embedding, vlm.delta_embedding)
 
 
+def test_scaled_pair_bit_exact_vs_naive():
+    """_scaled_pair (the out= normalize kernel) must be bit-identical to
+    the naive numpy expressions it replaces, across the dtype
+    combinations the pipeline produces and the nonfinite-factor edge
+    (zero-size cells -> inf/nan factors zeroed, reference :570-620)."""
+    from velocyto_tpu.analysis import _scaled_pair
+    rng = np.random.RandomState(7)
+    cases = []
+    M32 = rng.poisson(2.0, (30, 50)).astype(np.float32)
+    cases.append((M32, rng.uniform(0.5, 2.0, 50), 1))          # f32 x f64
+    cases.append((M32, rng.uniform(0.5, 2.0, 50).astype(np.float32), 1.0))
+    cases.append((M32.astype(np.uint16), 1, 1))                # size=False
+    f_bad = rng.uniform(0.5, 2.0, 50)
+    f_bad[3] = np.inf
+    f_bad[7] = np.nan
+    cases.append((M32, f_bad, 1))                              # zero-size cells
+    for M, factor, pcount in cases:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            want_sz = factor * M
+        sz, norm = _scaled_pair(M, factor, pcount, True,
+                                clean_nonfinite=True)
+        if isinstance(want_sz, np.ndarray) and want_sz.dtype.kind == "f":
+            want_sz[~np.isfinite(want_sz)] = 0
+        want_norm = np.log2(want_sz + pcount)
+        assert sz.dtype == want_sz.dtype and norm.dtype == want_norm.dtype
+        np.testing.assert_array_equal(sz, want_sz)
+        np.testing.assert_array_equal(norm, want_norm)
+        # the no-cleanup variant (S path) must match the plain expression
+        with np.errstate(divide="ignore", invalid="ignore"):
+            want_raw = factor * M
+            sz2, _ = _scaled_pair(M, factor, pcount, False)
+        np.testing.assert_array_equal(sz2, want_raw)
+
+
 def test_transition_prob_validates_before_threads(synthetic_loom):
     """Bad parameters must raise BEFORE the sampling/randomization worker
     threads start (round-4 advisor: errors mid-flight abandoned daemon
