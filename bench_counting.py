@@ -271,6 +271,68 @@ def feeder_scaling(gtf, bam, cs, bcs, counts=(1, 2, 4)) -> dict:
     return out
 
 
+def markup_scaling(gtf, bam, bcs, counts=(1, 2, 4)) -> dict:
+    """Pass-1 (intron-validation markup) scaling via ranged decode over
+    native record-boundary splits.  Reports, per worker count: the
+    slowest worker's own scan time (steady-state work; spawn/import
+    startup is a per-deployment constant reported separately) and the
+    solo time of one 1/n slice (the contention-free per-host work of an
+    n-host deployment -- this 2-core VM cannot run n scans at full
+    speed: the serial scan itself already uses ~1.6 cores via the
+    inflate pipeline)."""
+    from velocyto_tpu.counting.counter import ExInCounter
+    from velocyto_tpu.counting import logics, soa_engine
+    from velocyto_tpu import native
+
+    def build():
+        c = ExInCounter("s", logics.Permissive10X, valid_bcset=set(bcs))
+        c.peek(bam)
+        c.read_transcriptmodels(gtf)
+        return c
+
+    out = {}
+    # serial baseline: best of 3 (page-cache warm)
+    walls = []
+    for _ in range(3):
+        c = build()
+        t0 = time.perf_counter()
+        c.mark_up_introns((bam,), multimap=False)
+        walls.append(time.perf_counter() - t0)
+    serial = min(walls)
+    marks_ser = {k: fa.is_validated.copy()
+                 for k, fa in c.feature_indexes.items()}
+    out[1] = {"seconds": round(serial, 3), "speedup_vs_1": 1.0}
+    print(f"# markup serial: {serial:.2f}s", file=sys.stderr)
+    for n in counts:
+        if n == 1:
+            continue
+        c = build()
+        t0 = time.perf_counter()
+        c.mark_up_introns((bam,), multimap=False, n_workers=n)
+        wall = time.perf_counter() - t0
+        for k in marks_ser:
+            assert np.array_equal(marks_ser[k],
+                                  c.feature_indexes[k].is_validated), k
+        # per-slice work: time ONE 1/n slice in-process (ranged); best
+        # of 2 (the first call pays one-time buffer allocation)
+        ranges = native.bam_record_ranges(bam, n)
+        c2 = build()
+        soa_engine._init_pool_worker(__import__("pickle").dumps(c2))
+        solos = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            soa_engine._pool_markup_task(bam, False, ranges[0])
+            solos.append(time.perf_counter() - t0)
+        solo = min(solos)
+        out[n] = {"wall_incl_startup_s": round(wall, 2),
+                  "solo_slice_seconds": round(solo, 3),
+                  "speedup_per_worker_work": round(serial / solo, 2),
+                  "ideal_slice_seconds": round(serial / n, 3)}
+        print(f"# markup workers={n}: wall={wall:.2f}s solo 1/{n} slice "
+              f"{solo:.2f}s (ideal {serial/n:.2f}s)", file=sys.stderr)
+    return out
+
+
 def main():
     work = os.environ.get("VTPU_BENCH_DIR",
                           os.path.join("/tmp", "vtpu_bench_counting"))
@@ -284,7 +346,8 @@ def main():
     if os.environ.get("VTPU_BENCH_FEEDERS"):
         print(json.dumps({"metric": "feeder_scaling_reads_per_sec",
                           "unit": f"reads/s ({N_READS} reads, count pass)",
-                          "feeders": feeder_scaling(gtf, bam, cs, bcs)}))
+                          "feeders": feeder_scaling(gtf, bam, cs, bcs),
+                          "markup": markup_scaling(gtf, bam, bcs)}))
         return
 
     ours = run_ours(gtf, bam, cs, bcs)

@@ -168,7 +168,121 @@ def analyze_multichip(n_cells: int = 20000, n_genes: int = 2000,
     return out
 
 
+def weak_scaling_virtual(cells_per_dev: int = 2048, genes: int = 512,
+                         nn: int = 256, reps: int = 3) -> dict:
+    """Compute-normalized weak-scaling MEASUREMENT of the ring-sharded
+    sampled colDeltaCor on the virtual CPU mesh (run under
+    JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+    Virtual devices share the host cores, so absolute wall time cannot
+    show speedup; what IS measurable is the total-work overhead the ring
+    layout adds at P shards -- block-quantization padding, partition
+    imbalance, and the ppermute data movement all execute for real.
+    Weak scaling holds cells-per-device fixed: ideal T(P) = P x T(1) on
+    shared cores, so  eff_norm(P) = P*T1 / T(P)  isolates exactly the
+    overhead terms the analytical model (analyze_multichip) predicts
+    (0.96 modeled at P=8 for the production shape).  This measurement
+    stands next to the model as evidence, not as a wall-clock claim."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from velocyto_tpu.parallel.mesh import make_mesh
+    from velocyto_tpu.ops.coldeltacor import (col_delta_cor_partial_ring,
+                                               col_delta_cor_partial_sharded)
+
+    all_devices = jax.devices()
+    rng = np.random.default_rng(0)
+    out = {"cells_per_device": cells_per_dev, "genes": genes, "nn": nn,
+           "backend": jax.default_backend(), "points": {},
+           "reading": ("ring_vs_replicated_efficiency at P=1 isolates "
+                       "the ring KERNEL's structural overhead (block-"
+                       "table evaluation vs direct row gather) -- not a "
+                       "layout cost; the P>=2 decline relative to P=1 "
+                       "tracks the model's padding prediction "
+                       "(model_compute_only_efficiency) plus real "
+                       "ppermute data movement the compute-only model "
+                       "excludes.  Virtual devices share 2 host cores, "
+                       "so absolute times are not wall-clock claims.")}
+    t1 = None
+    for p in (1, 2, 4, 8):
+        if p > len(all_devices):
+            break
+        n = cells_per_dev * p
+        e = rng.random((genes, n), np.float32)
+        d = rng.random((genes, n), np.float32)
+        ixs = np.stack([rng.choice(n, nn, replace=False)
+                        for _ in range(n)]).astype(np.int32)
+        mesh = make_mesh(devices=all_devices[:p])
+
+        def run():
+            r = col_delta_cor_partial_ring(mesh, e, d, ixs, "sqrt", 1e-10)
+            return float(np.asarray(r).sum())
+
+        def run_rep():
+            r = col_delta_cor_partial_sharded(mesh, e, d, ixs, "sqrt",
+                                              1e-10)
+            return float(np.asarray(r).sum())
+
+        # shape-matched model prediction for THIS (small) test shape:
+        # the block-quantization padding is exact and analytic, so the
+        # measured ring-vs-replicated ratio has a falsifiable target
+        # (at the small nn used here padding is relatively larger than
+        # at the production shape, where the model gives 0.96 at P=8)
+        from velocyto_tpu.ops.coldeltacor import _ring_plan
+        chunk = (n + p - 1) // p
+        _q, _r, _i, bmax = _ring_plan(ixs, p, chunk, q=16)
+        model_eff = (n * nn) / (p * p * bmax * 16)
+
+        run()                                  # compile + warm
+        run_rep()
+        best = min(_timed(run) for _ in range(reps))
+        best_rep = min(_timed(run_rep) for _ in range(reps))
+        if t1 is None:
+            t1 = best
+        eff = (p * t1) / best
+        # ring vs the zero-collective replicated layout at the SAME P
+        # and N: both pay identical virtual-device scheduling artifacts,
+        # so the ratio isolates the ring's own overhead (padding +
+        # ppermute data movement) -- the quantity the analytical model
+        # predicts (>= 0.93 at P<=8 for the production shape)
+        ratio = best_rep / best
+        out["points"][p] = {"ring_seconds": round(best, 3),
+                            "replicated_seconds": round(best_rep, 3),
+                            "ring_vs_replicated_efficiency": round(ratio, 3),
+                            "model_compute_only_efficiency":
+                                round(model_eff, 3),
+                            "weak_scaling_ideal_seconds": round(p * t1, 3),
+                            "weak_scaling_eff_norm": round(eff, 3)}
+        print(f"# weak-scaling P={p}: ring {best:.2f}s replicated "
+              f"{best_rep:.2f}s ring-eff={ratio:.3f} "
+              f"(model compute-only {model_eff:.3f}) "
+              f"weak-eff={eff:.3f}", flush=True)
+    return out
+
+
+def _timed(fn) -> float:
+    import time
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 if __name__ == "__main__":
-    main()
-    print(json.dumps({"multichip_analysis": analyze_multichip()}),
-          flush=True)
+    import os
+    if os.environ.get("VTPU_BENCH_WEAK_SCALING"):
+        rec = {"weak_scaling_virtual_mesh": weak_scaling_virtual()}
+        print(json.dumps(rec), flush=True)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_scale.json")
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+        merged.update(rec)
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+    else:
+        main()
+        print(json.dumps({"multichip_analysis": analyze_multichip()}),
+              flush=True)

@@ -154,3 +154,85 @@ def test_vtx_staleness_rejected(fixture, tmp_path):
         markup_bamfiles=[bam_pos], n_feeders=2, cell_batch_size=5,
         mesh=None, in_process=True)
     assert sum(int(m.sum()) for m in layers.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# ranged parallel markup (pass 1)
+# ---------------------------------------------------------------------------
+
+def _prepared(gtf, bam_pos, bcs):
+    counter = ExInCounter(sampleid="s", logic=Permissive10X,
+                          valid_bcset=set(bcs))
+    counter.peek(bam_pos)
+    counter.read_transcriptmodels(gtf)
+    return counter
+
+
+def _marks(counter):
+    return {k: fa.is_validated.copy()
+            for k, fa in counter.feature_indexes.items()}
+
+
+@pytest.mark.parametrize("n_workers", [2, 3])
+def test_ranged_markup_matches_serial(fixture, n_workers):
+    """Ranged parallel markup (native record-boundary split + OR-merge)
+    must produce bit-identical is_validated flags and the same
+    per-Feature mirror as the serial scan."""
+    from velocyto_tpu import native
+    if not native.available():
+        pytest.skip("libvtpu not available")
+    gtf, bam_cs, bam_pos, bcs = fixture
+    c_ser = _prepared(gtf, bam_pos, bcs)
+    c_ser.mark_up_introns([bam_pos], multimap=False)
+    from velocyto_tpu.counting.soa_engine import run_markup_pool
+    c_par = _prepared(gtf, bam_pos, bcs)
+    ok = run_markup_pool(c_par, [bam_pos], False, n_workers,
+                         in_process=True)
+    assert ok, "ranged markup should be available with libvtpu"
+    ser, par = _marks(c_ser), _marks(c_par)
+    assert ser.keys() == par.keys()
+    any_marked = False
+    for k in ser:
+        np.testing.assert_array_equal(ser[k], par[k], err_msg=f"key {k}")
+        any_marked = any_marked or bool(ser[k].any())
+        for i in np.flatnonzero(par[k]):
+            assert c_par.feature_indexes[k].features[i].is_validated
+    assert any_marked, "vacuous comparison: nothing validated"
+
+
+def test_ranged_markup_spawn_processes(fixture):
+    """The real spawned-worker path (one markup worker per slice)."""
+    from velocyto_tpu import native
+    if not native.available():
+        pytest.skip("libvtpu not available")
+    gtf, bam_cs, bam_pos, bcs = fixture
+    c_ser = _prepared(gtf, bam_pos, bcs)
+    c_ser.mark_up_introns([bam_pos], multimap=False)
+    c_par = _prepared(gtf, bam_pos, bcs)
+    c_par.mark_up_introns([bam_pos], multimap=False, n_workers=2)
+    ser, par = _marks(c_ser), _marks(c_par)
+    for k in ser:
+        np.testing.assert_array_equal(ser[k], par[k], err_msg=f"key {k}")
+
+
+def test_ranged_markup_detects_unsorted(fixture, tmp_path):
+    """The cross-slice chromosome-order check must reject an unsorted
+    input exactly like the serial scan (reference counter.py:674-676)."""
+    from velocyto_tpu import native
+    if not native.available():
+        pytest.skip("libvtpu not available")
+    from velocyto_tpu.counting import bamio
+    gtf, bam_cs, bam_pos, bcs = fixture
+    bc0 = sorted(bcs)[0]
+    recs = [bamio.BamRecord(f"u{i}", 0, i % 2, 1000 + (i // 2) * 50,
+                            [(0, 90)],
+                            {"CB": bc0 + "-1", "UB": "ACGTACGTAC", "NH": 1})
+            for i in range(4000)]
+    ub = str(tmp_path / "unsorted.bam")
+    bamio.write_bam(ub, [("1", 50_000_000), ("2", 50_000_000)], recs)
+    c = _prepared(gtf, bam_pos, bcs)
+    from velocyto_tpu.counting.soa_engine import run_markup_pool
+    with pytest.raises(IOError, match="sorted"):
+        ok = run_markup_pool(c, [ub], False, 2, in_process=True)
+        if not ok:      # no ranged decode -> exercise the serial check
+            c.mark_up_introns([ub], multimap=False)

@@ -255,9 +255,11 @@ def _run(*, bamfile: Tuple[str, ...], gtffile: str, bcfile: Optional[str],
             logging.debug("Dumping exincounter_dump.pickle BEFORE markup")
             with open("exincounter_dump.pickle", "wb") as f:
                 pickle.dump(exincounter, f)
-            exincounter.mark_up_introns(bamfile=bamfile, multimap=multimap)
+            exincounter.mark_up_introns(bamfile=bamfile, multimap=multimap,
+                                        n_workers=processes or 1)
     else:
-        exincounter.mark_up_introns(bamfile=bamfile, multimap=multimap)
+        exincounter.mark_up_introns(bamfile=bamfile, multimap=multimap,
+                                    n_workers=processes or 1)
 
     if check_end_process:
         logging.info("Waiting for the bam sorting to finish")

@@ -282,10 +282,23 @@ class ExInCounter:
             for layer_name, cols in dict_layer_columns.items():
                 dict_list_arrays[layer_name].append(cols)
 
-    def mark_up_introns(self, bamfile: Iterable[str], multimap: bool) -> None:
+    def mark_up_introns(self, bamfile: Iterable[str], multimap: bool,
+                        n_workers: int = 1) -> None:
+        """Pass-1 intron-validation scan.  n_workers > 1 splits each BAM
+        into record-boundary byte ranges (native scan) and marks them in
+        parallel spawned workers with OR-merged flags -- bit-identical
+        to the serial scan (marking is order-independent; the
+        chromosome-sorted check composes across slices).  The reference
+        has no parallel pass 1 (reference counter.py:622-699)."""
         if not self.logic.perform_validation_markup:
             return
         if self._fastpath_ok():
+            if n_workers > 1:
+                from .soa_engine import run_markup_pool
+                if run_markup_pool(self, [str(b) for b in bamfile],
+                                   multimap, n_workers):
+                    self._log_markup_summary()
+                    return
             self._soa_engine().mark_up_introns(bamfile, multimap)
             self._log_markup_summary()
             return

@@ -104,6 +104,114 @@ def _pool_count_owner(bamfiles: List[str], multimap: bool,
     return mats, order, marks, glob, eng.skipped_no_barcode, elapsed
 
 
+def _pool_markup_task(bamfile: str, multimap: bool, byte_range):
+    """Markup worker: scan one (file, byte-range) slice against the
+    initializer-built engine, returning the is_validated flags, the
+    chromosome visit sequence, barcode accretion, and telemetry deltas.
+    Marking is order-independent (a pure OR over feature overlap), so
+    slice results merge exactly (merge_markup_results)."""
+    import time
+    eng = _POOL_ENGINE
+    t0 = time.perf_counter()
+    skipped_before = eng.skipped_no_barcode
+    visits = eng.mark_up_introns([bamfile], multimap,
+                                 byte_ranges=[byte_range],
+                                 collect_visits=True)
+    marks = {key: fa.is_validated.copy()
+             for key, fa in eng.c.feature_indexes.items()
+             if fa.is_validated.any()}
+    return (marks, visits[0],
+            set(eng.c.valid_bcset) if not eng.c.filter_mode else None,
+            eng.skipped_no_barcode - skipped_before,
+            time.perf_counter() - t0)
+
+
+def merge_markup_results(counter, task_results,
+                         task_order: List) -> None:
+    """OR-merge ranged markup results into `counter` and validate the
+    position-sorted property across slices: per file, the concatenated
+    slice visit sequences (adjacent duplicates collapsed -- a chromosome
+    may span a slice boundary) must not revisit a chromosome, exactly
+    the serial scan's check."""
+    per_file_seq: Dict[int, List[str]] = {}
+    for (fi, _rng), (marks, visit, bcset, _skipped, _t) in zip(
+            task_order, task_results):
+        seq = per_file_seq.setdefault(fi, [])
+        for name in visit:
+            if not seq or seq[-1] != name:
+                seq.append(name)
+        for key, arr in marks.items():
+            fa = counter.feature_indexes[key]
+            fa.is_validated |= arr
+        if bcset is not None:
+            counter.valid_bcset |= bcset
+    for fi, seq in per_file_seq.items():
+        if len(seq) != len(set(seq)):
+            raise IOError("Input .bam file should be sorted. "
+                          "(Hint: samtools sort)")
+    # sync the per-Feature mirror the object-mode consumers read
+    for fa in counter.feature_indexes.values():
+        for i in np.flatnonzero(fa.is_validated):
+            fa.features[i].is_validated = True
+
+
+def run_markup_pool(counter, bamfiles: List[str], multimap: bool,
+                    n_workers: int, in_process: bool = False) -> bool:
+    """Ranged parallel intron-validation markup (pass 1).
+
+    The `.vtx`-style ranged decode that parallelizes counting cannot
+    index a position-sorted input, so split points come from a native
+    record-boundary scan (inflate + record-length walk only, ~10x
+    cheaper than the markup scan).  One spawned worker per slice runs
+    the ordinary markup over its byte range; flags OR-merge; the
+    chromosome-sorted check composes across slices from the visit
+    sequences.  Returns False when ranged decode is unavailable (caller
+    falls back to the serial scan).  Total telemetry (skipped reads) is
+    summed from per-slice deltas.
+    """
+    from .. import native
+    if not native.available():
+        return False
+    tasks: List[Tuple[int, Tuple[int, int]]] = []
+    for fi, bam in enumerate(bamfiles):
+        ranges = native.bam_record_ranges(str(bam), n_workers)
+        if ranges is None:
+            return False
+        tasks.extend((fi, r) for r in ranges)
+    if len(tasks) <= 1:
+        return False
+    import pickle
+    soa = counter.__dict__.pop("_soa", None)
+    try:
+        payload = pickle.dumps(counter, protocol=pickle.HIGHEST_PROTOCOL)
+    finally:
+        if soa is not None:
+            counter._soa = soa
+
+    if in_process:
+        results = []
+        for fi, rng in tasks:
+            _init_pool_worker(payload)
+            results.append(_pool_markup_task(bamfiles[fi], multimap, rng))
+    else:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        with cf.ProcessPoolExecutor(max_workers=n_workers, mp_context=ctx,
+                                    initializer=_init_pool_worker,
+                                    initargs=(payload,)) as pool:
+            futs = [pool.submit(_pool_markup_task, bamfiles[fi], multimap,
+                                rng) for fi, rng in tasks]
+            results = [f.result() for f in futs]
+    merge_markup_results(counter, results, tasks)
+    eng = counter._soa_engine()
+    eng.skipped_no_barcode += sum(r[3] for r in results)
+    logging.debug(f"ranged markup: {len(tasks)} slices x "
+                  f"{n_workers} workers, slice walls "
+                  f"{[round(r[4], 2) for r in results]}")
+    return True
+
+
 def run_owner_pool(counter, bamfiles: List[str], multimap: bool,
                    cell_batch_size: int, owners: List,
                    in_process: bool = False,
@@ -268,9 +376,12 @@ class SoaEngine:
         return keep_u[inv], name_u[inv]
 
     def _check_chrom_sorted(self, cids: np.ndarray, seen: set,
-                            cur: List[int]) -> None:
+                            cur: List[int],
+                            visit: Optional[List[int]] = None) -> None:
         """Position-sorted inputs visit each chromosome once
-        (reference counter.py:674-676)."""
+        (reference counter.py:674-676).  `visit` (optional) records the
+        ordered sequence of distinct chromosomes -- ranged parallel
+        markup validates the cross-slice ordering from it."""
         if len(cids) == 0:
             return
         change = np.ones(len(cids), dtype=bool)
@@ -282,6 +393,8 @@ class SoaEngine:
                                   "(Hint: samtools sort)")
                 seen.add(int(cid))
                 cur[0] = int(cid)
+                if visit is not None:
+                    visit.append(int(cid))
 
     def _flat_segments(self, rb: ReadBatch, read_idx: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -304,17 +417,38 @@ class SoaEngine:
 
     # -- pass 1: markup -------------------------------------------------
 
-    def mark_up_introns(self, bamfiles: Iterable[str], multimap: bool) -> None:
+    def mark_up_introns(self, bamfiles: Iterable[str], multimap: bool,
+                        byte_ranges: Optional[List] = None,
+                        collect_visits: bool = False
+                        ) -> Optional[List[List[str]]]:
+        """Intron-validation markup scan.
+
+        byte_ranges: optional per-bamfile (ustart, uend) uncompressed
+        record-boundary offsets (native.bam_record_ranges) -- the reader
+        decodes only that slice, enabling ranged parallel markup whose
+        is_validated flags OR-merge (marking is order-independent).
+        collect_visits: also return, per bamfile, the ordered sequence
+        of distinct chromosome names visited, so a ranged caller can
+        validate the position-sorted property ACROSS slices exactly as
+        the serial scan does within one (reference counter.py:674-676).
+        """
         c = self.c
-        for bamfile in bamfiles:
+        visits: List[List[str]] = []
+        for fi, bamfile in enumerate(bamfiles):
+            byte_range = byte_ranges[fi] if byte_ranges else None
+            if byte_range is not None and byte_range[0] >= byte_range[1]:
+                visits.append([])
+                continue
             reader = open_soa_reader(
                 str(bamfile), c.cellbarcode_str, c.umibarcode_str,
                 not multimap,
                 aux_tag="GX" if c.umi_extension == "Gene" else "",
-                seq_prefix=(c.umi_bp if c.umi_extension == "Nbp" else 0))
+                seq_prefix=(c.umi_bp if c.umi_extension == "Nbp" else 0),
+                byte_range=byte_range)
             gmap = self._global_chrom_map(reader.references)
             seen: set = set()
             cur = [-1]
+            visit: List[int] = []
             while True:
                 rb = reader.read_batch()
                 if rb is None:
@@ -325,7 +459,8 @@ class SoaEngine:
                     keep &= bc_keep
                 if c.umi_extension != "without_umi":
                     keep &= rb.umi != b""
-                self._check_chrom_sorted(rb.chrom_id[keep], seen, cur)
+                self._check_chrom_sorted(rb.chrom_id[keep], seen, cur,
+                                         visit if collect_visits else None)
                 keep &= rb.ref_skip == 0     # spliced reads don't validate
                 key = gmap[rb.chrom_id] * 2 + rb.strand
                 for k in np.unique(key[keep]):
@@ -337,9 +472,16 @@ class SoaEngine:
                     idx = np.flatnonzero(keep & (key == k))
                     ss, ee, _sr, _ns = self._flat_segments(rb, idx)
                     fa.mark_overlapping(ss, ee)
+            refs = list(reader.references)
             reader.close()
+            if collect_visits:
+                # visit holds the file's LOCAL reference ids (that is
+                # what _check_chrom_sorted sees); map to names so the
+                # parent can compare sequences across slices
+                visits.append([refs[cid] for cid in visit])
         logging.debug(f"{self.skipped_no_barcode} reads without barcode "
                       f"skipped")
+        return visits if collect_visits else None
 
     # -- pass 2: counting -----------------------------------------------
 

@@ -111,6 +111,14 @@ def _configure(lib) -> None:
     lib.vtpu_bam_seek_uncompressed.argtypes = [c_void_p, ctypes.c_uint64]
     lib.vtpu_bam_set_limit.restype = None
     lib.vtpu_bam_set_limit.argtypes = [c_void_p, ctypes.c_uint64]
+    if hasattr(lib, "vtpu_bam_record_offsets"):
+        lib.vtpu_bam_record_offsets.restype = c_int64
+        lib.vtpu_bam_record_offsets.argtypes = [
+            c_char_p, ctypes.c_uint64,          # path, stride bytes
+            POINTER(ctypes.c_uint64), c_int64,  # out offsets, max_out
+            POINTER(c_int64),                   # out n_records
+            POINTER(ctypes.c_uint64),           # out end-of-records offset
+        ]
     lib.vtpu_factorize_fixed.restype = c_int64
     lib.vtpu_factorize_fixed.argtypes = [
         c_char_p,                       # keys (n * width bytes)
@@ -214,6 +222,54 @@ def read_tag_index(path: str):
         p += klen
         offs.append(off)
     return None                          # missing terminal entry
+
+
+def bam_record_ranges(path: str, n_ranges: int,
+                      stride: Optional[int] = None):
+    """Split a BAM's record stream into `n_ranges` contiguous
+    (ustart, uend) uncompressed ranges at record boundaries, for ranged
+    parallel scans of an un-indexed (e.g. position-sorted) BAM.  One
+    native pass walks record length prefixes only (inflate-bound, no
+    field/tag parse, no python).  Returns a list of ranges covering
+    [first record, end-of-records), or None when the native library is
+    unavailable or the scan fails."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vtpu_bam_record_offsets"):
+        return None
+    if stride is None:
+        # ~8 candidate boundaries per range; the compressed size is a
+        # conservative lower bound on the uncompressed span
+        try:
+            csize = os.path.getsize(path)
+        except OSError:
+            return None
+        stride = max(4096, min(8 << 20, csize // (8 * max(1, n_ranges))))
+    max_out = 65536
+    out = np.zeros(max_out, dtype=np.uint64)
+    n_records = ctypes.c_int64(0)
+    u_end = ctypes.c_uint64(0)
+    n = lib.vtpu_bam_record_offsets(
+        path.encode(), ctypes.c_uint64(stride),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), max_out,
+        ctypes.byref(n_records), ctypes.byref(u_end))
+    if n <= 0:
+        return None
+    offs = out[:n].astype(np.int64)
+    end = int(u_end.value)
+    n_ranges = max(1, min(int(n_ranges), int(n)))
+    # choose the recorded boundary closest to each ideal split point
+    span = end - int(offs[0])
+    cuts = [int(offs[0])]
+    for i in range(1, n_ranges):
+        target = int(offs[0]) + span * i // n_ranges
+        j = int(np.searchsorted(offs, target))
+        j = min(max(j, 1), len(offs) - 1)
+        cut = int(offs[j])
+        if cut <= cuts[-1]:
+            continue
+        cuts.append(cut)
+    cuts.append(end)
+    return [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
 
 
 def factorize_fixed(arr: np.ndarray

@@ -359,6 +359,63 @@ void vtpu_bam_set_limit(void* vh, uint64_t uend) {
     ((BamHandle*)vh)->u_limit = uend;
 }
 
+// Advance the decode cursor n bytes without copying record payloads out.
+static bool skip_bytes(BamHandle* h, size_t n) {
+    while (n > 0) {
+        size_t avail = h->buf.size() - h->buf_pos;
+        if (avail == 0) {
+            if (!fill(h, 1)) return false;
+            avail = h->buf.size() - h->buf_pos;
+            if (avail == 0) return false;       // clean EOF mid-record
+        }
+        size_t step = n < avail ? n : avail;
+        h->buf_pos += step;
+        h->u_consumed += step;
+        n -= step;
+    }
+    return true;
+}
+
+// Record-boundary split points for ranged parallel scans of a BAM with
+// no sidecar index (e.g. the position-sorted markup input): inflate the
+// stream and walk record length prefixes ONLY (no field/tag parsing, no
+// python), emitting up to max_out uncompressed offsets spaced >= stride
+// bytes apart, each the offset of a record start.  Writes the
+// end-of-records offset to *u_end and the record count to *n_records.
+// Returns the number of offsets emitted, or -1 on error.
+int64_t vtpu_bam_record_offsets(const char* path, uint64_t stride,
+                                uint64_t* out, int64_t max_out,
+                                int64_t* n_records, uint64_t* u_end) {
+    BamHandle* h = (BamHandle*)vtpu_bam_open(path);
+    if (!h) return -1;
+    int64_t n_out = 0, total = 0;
+    uint64_t last_emitted = 0;
+    bool first = true;
+    for (;;) {
+        const uint64_t rec_off = h->u_consumed;
+        int32_t block_size;
+        if (!fill(h, 4)) { vtpu_bam_close(h); return -1; }
+        if (h->buf.size() - h->buf_pos < 4) break;      // end of records
+        if (!take(h, &block_size, 4)) break;
+        if (block_size <= 0) { vtpu_bam_close(h); return -1; }
+        if (first || rec_off >= last_emitted + stride) {
+            if (n_out < max_out) {
+                out[n_out++] = rec_off;
+                last_emitted = rec_off;
+            }
+            first = false;
+        }
+        if (!skip_bytes(h, (size_t)block_size)) {
+            vtpu_bam_close(h); return -1;
+        }
+        ++total;
+    }
+    if (u_end) *u_end = h->u_consumed;
+    if (n_records) *n_records = total;
+    vtpu_bam_close(h);
+    return n_out;
+}
+
 int64_t vtpu_bam_n_refs(void* vh) { return ((BamHandle*)vh)->refs.size(); }
 
 const char* vtpu_bam_ref_name(void* vh, int64_t i) {
