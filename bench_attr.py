@@ -24,7 +24,15 @@ os.environ.setdefault("VTPU_BENCH", "1")
 from bench_common import mxu_probe, sync  # noqa: E402
 
 
-def timed(name, fn, out, n=1):
+def timed(name, fn, out, n=1, warm=True):
+    if warm and os.environ.get("VTPU_ATTR_WARM", "1") == "1":
+        r = fn()                      # compile/program-load outside timing
+        if hasattr(r, "block_until_ready"):
+            sync(r)
+        elif isinstance(r, tuple):
+            for x in r:
+                if hasattr(x, "block_until_ready"):
+                    sync(x)
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn()
@@ -76,8 +84,10 @@ def attr_transition(n=20000, g=2000, nn=3500, frac=0.5):
         idx_dev, samp_dev), out)
 
     perms, signs = _permute_rows_nsign_plan(g, n)
-    dS_r = timed("permute_rndm", lambda: _permute_apply_dev(
-        dS, jnp.asarray(perms), jnp.asarray(signs)), out)
+    from velocyto_tpu.analysis import _invert_rows
+    inv = jnp.asarray(_invert_rows(perms))
+    dS_r = timed("permute_rndm(sort)", lambda: _permute_apply_dev(
+        dS, inv, jnp.asarray(signs)), out)
     d_main = timed("transform_main", lambda: _corr_transform_dev(
         Sx, dS, 1.0, 1e-10, "sqrt"), out)
     d_rndm = timed("transform_rndm", lambda: _corr_transform_dev(

@@ -135,7 +135,11 @@ def main():
     synth_s = round(time.perf_counter() - t0, 2)
     print(f"# synthesize: {synth_s}s", flush=True)
 
-    host_ms = float(os.environ.get("VTPU_BENCH_HOST_PROBE_MS", 120.0))
+    # clean sessions measure the host dgemm probe at ~3-12 ms; a
+    # co-running CPU hog shows 25-40+ ms while still passing the old
+    # 120 ms threshold (observed r5: a concurrent counting bench pushed
+    # host stages 3-4x with every run still "clean"), so gate tightly
+    host_ms = float(os.environ.get("VTPU_BENCH_HOST_PROBE_MS", 18.0))
     runs = []
     for rep in range(REPS):
         p_before, h_before = mxu_probe(), host_probe()
@@ -195,8 +199,14 @@ def main():
             merged = {}
     if CELLS != 20000:
         # non-default scale points get their own section; the top-level
-        # headline stays the canonical 20k operating point
-        merged[f"pipeline_{CELLS // 1000}k"] = result
+        # headline stays the canonical 20k operating point.  Never let a
+        # session with no clean measured run (or a slower median under
+        # visibly-elevated host probes) clobber a previous clean record.
+        key = f"pipeline_{CELLS // 1000}k"
+        if n_clean:
+            merged[key] = result
+        else:
+            merged[f"{key}_last_contended_session"] = result
     elif n_clean or merged.get("value") is None:
         merged.setdefault("progression_rounds_s", {}).setdefault(
             "r5_runs", []).append(median)

@@ -393,6 +393,31 @@ def col_delta_cor_partial_compact_dev(emat, dmat, ixs,
     return _partial_impl(e_rows, e_rows, d_rows, ixs, tcode, psc)
 
 
+def make_partial_compact_chunked(emat, transform: str = "linear",
+                                 psc: float = 0.0):
+    """Row-chunked sampled colDeltaCor for pipelining behind the
+    neighbor-sampling producer: kernels for rows [lo, hi) depend only on
+    that chunk's sampled indices, so their device work overlaps the
+    (host) sampling of later chunks (estimate_transition_prob).
+
+    Returns (prep_d, run): prep_d transposes/uploads a displacement
+    matrix once; run(d_rows, lo, hi, ixs_chunk) evaluates the compact
+    (hi-lo, nn) block.  Concatenating the blocks row-wise equals the
+    unchunked col_delta_cor_partial_compact_dev exactly (rows are
+    independent)."""
+    tcode = _TRANSFORMS[transform]
+    e_rows = jnp.array(emat, dtype=jnp.float32).T
+
+    def prep_d(dmat):
+        return jnp.array(dmat, dtype=jnp.float32).T
+
+    def run(d_rows, lo: int, hi: int, ixs_chunk) -> jax.Array:
+        return _partial_impl(e_rows, e_rows[lo:hi], d_rows[lo:hi],
+                             jnp.asarray(ixs_chunk, jnp.int32), tcode, psc)
+
+    return prep_d, run
+
+
 def col_delta_cor_partial_compact(emat, dmat, ixs, transform: str = "linear",
                                   psc: float = 0.0) -> np.ndarray:
     """Sampled-neighborhood colDeltaCor returning the compact (N, nn) form."""
