@@ -1159,18 +1159,28 @@ class VelocytoLoom:
             if calculate_randomized:
                 if use_dev_transform:
                     dS = self._get_dev("delta_S")
-                    # the plan consumes numpy's global stream, so it must
-                    # run on the main thread here (between the
-                    # numba_random_seed above and the np.random.seed
-                    # below, like the reference); the RNG-free upload +
-                    # apply go to a worker so the main thread can move on
-                    # to joining the neighbor sampling
-                    perms, sign_bits = _permute_rows_nsign_plan(*dS.shape)
+                    # The plan's draws come from numpy's global stream AT
+                    # THIS POINT (reference order: permute between
+                    # numba_random_seed and np.random.seed).  The
+                    # knn_random path re-seeds the global stream right
+                    # below, discarding the post-plan state -- so the
+                    # plan can replay from a STATE SNAPSHOT on the worker
+                    # (np.random delegates to a global RandomState; a
+                    # local RandomState at the same state draws the
+                    # identical sequence).  This moves ~2-4 s of
+                    # Fisher-Yates at the 50k point off the main thread,
+                    # which proceeds straight to the chunk-pipelined
+                    # kernel consumption.
+                    _plan_state = np.random.get_state()
                     import threading
                     _rndm_box: dict = {}
 
                     def _rndm_work():
                         try:
+                            rs = np.random.RandomState()
+                            rs.set_state(_plan_state)
+                            perms, sign_bits = _permute_rows_nsign_plan(
+                                *dS.shape, rng=rs)
                             self._set_dev(
                                 "delta_S_rndm", _permute_apply_dev(
                                     dS, jnp.asarray(_invert_rows(perms)),
@@ -2230,22 +2240,24 @@ def _sample_neighbors_dev(idx: jax.Array, samp: jax.Array,
     return jnp.take_along_axis(idx, src, axis=1)
 
 
-def _permute_rows_nsign_plan(g: int, n: int):
+def _permute_rows_nsign_plan(g: int, n: int, rng=np.random):
     """The row permutations + sign flips permute_rows_nsign would apply,
-    computed from the same global np.random draw sequence but without
-    touching the data -- so the (G, N) matrix itself can stay on device
-    and only the plan is uploaded: (G, N) uint16/int32 permutations plus
+    computed from the same np.random draw sequence but without touching
+    the data -- so the (G, N) matrix itself can stay on device and only
+    the plan is uploaded: (G, N) uint16/int32 permutations plus
     bit-packed signs ((G, ceil(N/8)) uint8, 8x smaller than int8 over
-    the thin tunnel link)."""
+    the thin tunnel link).  rng: the global np.random module (default)
+    or a RandomState positioned at the same state (identical draws;
+    np.random delegates to a global RandomState)."""
     perms = np.empty((g, n), np.uint16 if n <= 65536 else np.int32)
     signs = np.empty((g, n), np.int8)
     plmi = np.array([+1, -1])
     base = np.arange(n)
     for i in range(g):
         p = base.copy()
-        np.random.shuffle(p)           # same draw count as shuffling a row
+        rng.shuffle(p)                 # same draw count as shuffling a row
         perms[i] = p
-        signs[i] = np.random.choice(plmi, size=n)
+        signs[i] = rng.choice(plmi, size=n)
     return perms, np.packbits(signs > 0, axis=1)
 
 
