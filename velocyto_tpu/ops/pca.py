@@ -113,13 +113,17 @@ class PCA:
         self.n_components = n_components
 
     def fit_transform(self, X: np.ndarray) -> np.ndarray:
-        X = np.asarray(X, dtype=np.float64)
+        # no eager f64 copy: _pca_impl picks its own working dtype, and
+        # the input is typically a strided transpose view of the (G, N)
+        # f32 state -- materializing it as f64 here cost an 800 MB
+        # strided copy (~3-5 s at 50k x 2k) before any math ran
+        X = np.asarray(X)
         k = self.n_components or min(X.shape)
         pcs, comps, expl, total_var = _pca_impl(X, k)
         self.components_ = comps
         self.explained_variance_ = expl
         self.explained_variance_ratio_ = expl / total_var
-        self.mean_ = X.mean(axis=0)
+        self.mean_ = np.mean(X, axis=0, dtype=np.float64)
         return pcs
 
     def fit(self, X: np.ndarray) -> "PCA":
