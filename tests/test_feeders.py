@@ -236,3 +236,47 @@ def test_ranged_markup_detects_unsorted(fixture, tmp_path):
         ok = run_markup_pool(c, [ub], False, 2, in_process=True)
         if not ok:      # no ranged decode -> exercise the serial check
             c.mark_up_introns([ub], multimap=False)
+
+
+def test_bam_record_ranges_edges(tmp_path):
+    """Record-boundary split points: ranges must tile [first record,
+    EOF) exactly, land on record boundaries (decoding each slice yields
+    the slice's records, summing to the total), and degrade gracefully
+    on tiny files."""
+    from velocyto_tpu import native
+    if not native.available():
+        pytest.skip("libvtpu not available")
+    from velocyto_tpu.counting import bamio
+    from velocyto_tpu.counting.fastio import open_soa_reader
+
+    def make(n_recs, path):
+        recs = [bamio.BamRecord(f"r{i}", 0, 0, 100 + i, [(0, 50)],
+                                {"CB": "AAAA-1", "UB": "ACGT", "NH": 1})
+                for i in range(n_recs)]
+        bamio.write_bam(path, [("1", 1_000_000)], recs)
+        return path
+
+    big = make(5000, str(tmp_path / "big.bam"))
+    for n_ranges in (2, 3, 8):
+        ranges = native.bam_record_ranges(big, n_ranges)
+        assert ranges is not None
+        # contiguous tiling
+        for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+            assert a1 == b0 and a0 < a1
+        total = 0
+        for rng in ranges:
+            rd = open_soa_reader(big, "CB", "UB", True, byte_range=rng)
+            while True:
+                rb = rd.read_batch()
+                if rb is None:
+                    break
+                total += len(rb)
+            rd.close()
+        assert total == 5000, f"ranges={ranges} decoded {total}"
+
+    tiny = make(1, str(tmp_path / "tiny.bam"))
+    r = native.bam_record_ranges(tiny, 4)
+    assert r is not None and len(r) >= 1
+    rd = open_soa_reader(tiny, "CB", "UB", True, byte_range=r[0])
+    assert len(rd.read_batch()) == 1
+    rd.close()
