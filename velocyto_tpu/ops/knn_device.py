@@ -455,11 +455,13 @@ def smooth_dev_multi(data_cols_list, nbr_idx: jax.Array,
                      nbr_w: jax.Array):
     """Smooth several (G, N) matrices in ONE convolution pass.
 
-    The convolution is bound by streaming the (B, N) weight slab through
-    HBM (~2*N^2*4 bytes regardless of block size; ~20 GB and ~13 s at
-    50k cells), and that cost is per PASS, not per matrix: one matmul
-    against the gene-concatenated data amortizes the slab across all
-    inputs (Sx+Ux drop from 2 slabs to 1)."""
+    The convolution streams the (B, N) weight slab through HBM; that
+    cost is per PASS, not per matrix, so one matmul against the
+    gene-concatenated data amortizes it across all inputs (Sx+Ux drop
+    from 2 slabs to 1).  Measured r5 at 50k cells x 501 neighbors x
+    4000 concatenated genes: 1.02 s -- and still faster than a tiled
+    gather+einsum formulation of the same contraction (1.46 s), so the
+    slab stays."""
     gs = [d.shape[0] for d in data_cols_list]
     stacked = jnp.concatenate([d.T for d in data_cols_list], axis=1)
     out = _smooth_rows_impl(stacked, nbr_idx, nbr_w)
