@@ -130,6 +130,67 @@ def test_scaled_pair_bit_exact_vs_naive():
         np.testing.assert_array_equal(sz2, want_raw)
 
 
+def test_dev_scale_recipe_bit_exact_and_invalidated(synthetic_loom):
+    """_get_dev("S_sz"/"U_sz") computed on device from the raw counts
+    (upload-compression optimization) must be bit-identical to
+    uploading the host scaled matrix, and the recipe must invalidate on
+    reassignment, source reassignment, and the documented in-place
+    mutation sites (adjust_totS_totU / normalize_median)."""
+    import jax.numpy as jnp
+    vlm = vt.VelocytoLoom(synthetic_loom)
+    vlm.normalize("both", size=True, log=True)
+    assert "S_sz" in vlm.__dict__.get("_dev_recipes", {})
+    assert "U_sz" in vlm.__dict__["_dev_recipes"]
+    for name in ("S_sz", "U_sz"):
+        via_recipe = np.asarray(vlm._get_dev(name))
+        direct = np.asarray(jnp.asarray(getattr(vlm, name), jnp.float32))
+        if getattr(vlm, name).dtype == np.float32:
+            np.testing.assert_array_equal(via_recipe, direct, err_msg=name)
+        else:   # f64 host result: documented <= 1 ulp (f32) difference
+            np.testing.assert_allclose(via_recipe, direct, rtol=1.3e-7,
+                                       atol=0, err_msg=name)
+    # zero-size-cell edge: an inf factor column must come back zeroed
+    vlm2 = vt.VelocytoLoom(synthetic_loom)
+    vlm2.U[:, 3] = 0
+    vlm2.normalize("U", size=True, log=False)
+    assert np.all(np.asarray(vlm2._get_dev("U_sz"))[:, 3] == 0)
+    np.testing.assert_allclose(np.asarray(vlm2._get_dev("U_sz")),
+                                vlm2.U_sz.astype(np.float32), rtol=1.3e-7)
+    # invalidation: explicit reassignment of the target
+    vlm.S_sz = vlm.S_sz * 2.0
+    assert "S_sz" not in vlm.__dict__["_dev_recipes"]
+    np.testing.assert_array_equal(np.asarray(vlm._get_dev("S_sz")),
+                                  np.asarray(jnp.asarray(vlm.S_sz,
+                                                         jnp.float32)))
+    # and an f32 pipeline gets the exact-equality guarantee
+    v32 = vt.VelocytoLoom.__new__(vt.VelocytoLoom)
+    rng32 = np.random.RandomState(1)
+    v32.S = rng32.poisson(2.0, (40, 60)).astype(np.float32)
+    v32.U = rng32.poisson(1.0, (40, 60)).astype(np.float32)
+    v32._normalize_S()
+    v32._normalize_U()
+    assert v32.S_sz.dtype == np.float32
+    np.testing.assert_array_equal(
+        np.asarray(v32._get_dev("S_sz")),
+        np.asarray(jnp.asarray(v32.S_sz, jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(v32._get_dev("U_sz")),
+        np.asarray(jnp.asarray(v32.U_sz, jnp.float32)))
+    # invalidation: reassignment of the SOURCE
+    vlm.normalize("U", size=True, log=False)
+    assert "U_sz" in vlm.__dict__["_dev_recipes"]
+    vlm.U = vlm.U * 1.0
+    assert "U_sz" not in vlm.__dict__["_dev_recipes"]
+    # invalidation: in-place mutation sites
+    vlm3 = vt.VelocytoLoom(synthetic_loom)
+    vlm3.normalize("both", size=True, log=True)
+    vlm3.small_U_pop = vlm3.initial_Ucell_size < np.percentile(
+        vlm3.initial_Ucell_size, 20)
+    vlm3.adjust_totS_totU(skip_low_U_pop=True)
+    np.testing.assert_allclose(np.asarray(vlm3._get_dev("U_sz")),
+                                vlm3.U_sz.astype(np.float32), rtol=1.3e-7)
+
+
 def test_transition_prob_validates_before_threads(synthetic_loom):
     """Bad parameters must raise BEFORE the sampling/randomization worker
     threads start (round-4 advisor: errors mid-flight abandoned daemon
